@@ -1,0 +1,230 @@
+"""FFT-parallel acquisition engine.
+
+Replaces the firmware's four-stage serial search
+(``acquisition.c``: frequency scan 29 bins x 10 epochs with sort-chain
+voting, then three shrinking code-phase searches with histogram voting,
+~minutes of wall time) with a single tensor program: the whole
+(PRN x Doppler x code-lag) cube is evaluated by FFT circular correlation,
+``vmap``-ed over Doppler and PRN, with non-coherent accumulation over
+epochs via ``lax.scan``.  Detection is peak / second-peak (the standard
+SDR test); an epoch-voting mode compatible with the firmware's histogram
+acceptance thresholds (acquisition.c:249-274) is provided for parity
+testing.
+
+The PRN axis is shardable across a device mesh — see
+``stm32f4_sdr_gps_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN
+from ..ops.correlate import (
+    code_fft_conj,
+    fft_circular_correlate,
+    lag_to_code_phase,
+    noncoherent_power,
+)
+from ..ops.wipeoff import doppler_rotations
+
+
+@dataclass
+class AcqResult:
+    """Acquisition verdict for one PRN (cf. gps_acq_t, gps_misc.h:43-60)."""
+
+    prn: int
+    detected: bool
+    doppler_hz: float           # found_freq_offset_hz equivalent
+    code_phase_chips: float     # found_code_phase equivalent (fractional)
+    peak_power: float
+    peak_ratio: float           # peak / second peak (hist_ratio equivalent)
+    peak_to_mean: float
+
+
+@functools.partial(jax.jit, static_argnames=("coherent",))
+def acquisition_power(
+    epochs: jnp.ndarray,        # (E, S) complex epochs
+    cfc: jnp.ndarray,           # (P, S) conj code FFTs
+    rot: jnp.ndarray,           # (D, S) Doppler rotations
+    coherent: int = 1,
+) -> jnp.ndarray:
+    """Non-coherently accumulated correlation power, shape (P, D, S).
+
+    Scans over epoch blocks so peak memory stays at one (D, P, S) complex
+    cube; with ``coherent > 1`` the complex correlations of that many
+    consecutive epochs are summed before squaring.
+    """
+    e, s = epochs.shape
+    blocks = epochs[: (e // coherent) * coherent].reshape(-1, coherent, s)
+
+    def body(acc, block):
+        xd = block[:, None, :] * rot[None, :, :]          # (co, D, S)
+        corr = fft_circular_correlate(xd, cfc)             # (co, D, P, S)
+        csum = corr.sum(axis=0)                            # coherent sum
+        return acc + noncoherent_power(csum).transpose(1, 0, 2), None
+
+    p, d = cfc.shape[0], rot.shape[0]
+    acc0 = jnp.zeros((p, d, s), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, blocks)
+    return acc
+
+
+def _parabolic_offset(ym1, y0, yp1):
+    denom = ym1 - 2.0 * y0 + yp1
+    return np.where(np.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+
+
+def analyze_power(
+    power: np.ndarray,          # (P, D, S)
+    prns,
+    doppler_bins_hz: np.ndarray,
+    plan: SignalPlan,
+    cfg: AcqConfig,
+) -> list:
+    """Peak detection + sub-bin interpolation (host-side, tiny data)."""
+    power = np.asarray(power)
+    p_cnt, d_cnt, s = power.shape
+    excl = max(1, int(round(cfg.exclude_chips * plan.samples_per_chip)))
+    results = []
+    for pi in range(p_cnt):
+        cube = power[pi]
+        flat = int(np.argmax(cube))
+        di, si = divmod(flat, s)
+        peak = float(cube[di, si])
+
+        # Fractional code phase via parabolic interpolation along the lag
+        # axis at the best Doppler row.
+        row = cube[di]
+        frac = float(
+            _parabolic_offset(row[(si - 1) % s], row[si], row[(si + 1) % s])
+        )
+        lag = si + np.clip(frac, -0.5, 0.5)
+        code_phase = float(lag_to_code_phase(lag, plan) % 1023.0)
+
+        # Fractional Doppler via parabolic interpolation across bins.
+        if 0 < di < d_cnt - 1:
+            dfrac = float(
+                _parabolic_offset(cube[di - 1, si], peak, cube[di + 1, si])
+            )
+        else:
+            dfrac = 0.0
+        step = (
+            float(doppler_bins_hz[1] - doppler_bins_hz[0])
+            if d_cnt > 1
+            else 0.0
+        )
+        doppler = float(doppler_bins_hz[di]) + np.clip(dfrac, -0.5, 0.5) * step
+
+        # Second peak outside the exclusion zone around the main lag
+        # (any Doppler row) -> detection metric.
+        lag_idx = np.arange(s)
+        dist = np.minimum((lag_idx - si) % s, (si - lag_idx) % s)
+        masked = np.where(dist[None, :] > excl, cube, 0.0)
+        second = float(masked.max())
+        ratio = peak / max(second, 1e-20)
+        mean = float(cube.mean())
+        results.append(
+            AcqResult(
+                prn=int(prns[pi]),
+                detected=bool(ratio >= cfg.detect_ratio),
+                doppler_hz=doppler,
+                code_phase_chips=code_phase,
+                peak_power=peak,
+                peak_ratio=ratio,
+                peak_to_mean=peak / max(mean, 1e-20),
+            )
+        )
+    return results
+
+
+def acquire(
+    samples: np.ndarray,
+    prns,
+    plan: SignalPlan = BASEBAND_PLAN,
+    cfg: AcqConfig = AcqConfig(),
+    num_epochs: int | None = None,
+) -> list:
+    """Cold-start acquisition of ``prns`` from a capture.
+
+    Uses ``cfg.noncoherent_epochs`` 1 ms epochs (the firmware integrates
+    10 epochs per Doppler bin, acquisition.c:18).
+    """
+    s = plan.samples_per_epoch
+    e = num_epochs or cfg.noncoherent_epochs
+    if len(samples) < e * s:
+        raise ValueError(f"need at least {e} epochs of samples")
+    epochs = jnp.asarray(samples[: e * s].reshape(e, s), dtype=jnp.complex64)
+    cfc = code_fft_conj(prns, plan)
+    bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
+    rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
+    power = acquisition_power(epochs, cfc, rot, coherent=cfg.coherent_epochs)
+    return analyze_power(np.asarray(power), prns, bins, plan, cfg)
+
+
+def acquire_epoch_vote(
+    samples: np.ndarray,
+    prns,
+    plan: SignalPlan = BASEBAND_PLAN,
+    cfg: AcqConfig = AcqConfig(),
+    num_epochs: int | None = None,
+) -> list:
+    """Firmware-compatible epoch-voting detector.
+
+    Per epoch, take the argmax lag of each (PRN, Doppler) row; vote into a
+    histogram over lags; accept when max/avg over non-zero cells exceeds
+    ``cfg.hist_ratio`` — the acceptance rule of acquisition.c:249-274 with
+    the serial scan replaced by the FFT cube.
+    """
+    s = plan.samples_per_epoch
+    e = num_epochs or cfg.noncoherent_epochs
+    epochs = jnp.asarray(samples[: e * s].reshape(e, s), dtype=jnp.complex64)
+    cfc = code_fft_conj(prns, plan)
+    bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
+    rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
+
+    def per_epoch(x):
+        xd = x[None, :] * rot
+        corr = fft_circular_correlate(xd, cfc)      # (D, P, S)
+        pw = noncoherent_power(corr)
+        return pw.max(axis=(0, 2)), pw.argmax(axis=2).T, pw.max(axis=2).T
+
+    _, argmaxes, maxes = jax.lax.map(per_epoch, epochs)
+    argmaxes = np.asarray(argmaxes)                  # (E, P, D)
+    maxes = np.asarray(maxes)                        # (E, P, D)
+
+    results = []
+    hist_step = max(1, int(round(plan.samples_per_chip * 0.5)))  # half chip
+    for pi, prn in enumerate(prns):
+        votes: dict = {}
+        for ei in range(argmaxes.shape[0]):
+            di = int(np.argmax(maxes[ei, pi]))
+            cell = int(argmaxes[ei, pi, di]) // hist_step
+            votes[(di, cell)] = votes.get((di, cell), 0) + 1
+        (best_key, best_votes) = max(votes.items(), key=lambda kv: kv[1])
+        nz = list(votes.values())
+        avg = float(np.mean(nz))
+        ratio = best_votes / max(avg, 1e-9)
+        unique = len(nz)
+        detected = (ratio > cfg.hist_ratio) or (
+            unique == 1 and best_votes > cfg.freq_hist_min_votes
+        )
+        di, cell = best_key
+        lag = cell * hist_step
+        results.append(
+            AcqResult(
+                prn=int(prn),
+                detected=bool(detected),
+                doppler_hz=float(bins[di]),
+                code_phase_chips=float(lag_to_code_phase(lag, plan) % 1023.0),
+                peak_power=float(maxes[:, pi, di].mean()),
+                peak_ratio=float(ratio),
+                peak_to_mean=float(ratio),
+            )
+        )
+    return results

@@ -1,0 +1,184 @@
+"""Typed configuration for the TPU-native GPS L1 C/A receiver.
+
+This replaces the reference firmware's compile-time macro header
+(``/root/reference/Firmware/project_main/config.h``) with frozen dataclasses.
+Numeric defaults (loop gains, acquisition grid, thresholds, cadences) are
+inherited from the firmware so the two pipelines are comparable:
+
+* signal plan constants ............ config.h:23-28
+* acquisition grid ................. config.h:41-48
+* loop-filter gains ................ config.h:61-71
+* nav/bit constants ................ nav_data.c:15-22, tracking.c:14-26
+* build week ....................... config.h:73
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+# Physical constants (IS-GPS-200 / WGS84).
+CLIGHT = 299_792_458.0        # speed of light, m/s          (rtk_common.h:43)
+FREQ_L1_HZ = 1.57542e9        # L1 carrier, Hz               (rtk_common.h:44)
+CODE_RATE_HZ = 1.023e6        # C/A chipping rate, chips/s
+CODE_LENGTH = 1023            # chips per C/A code period    (config.h:28)
+CODE_PERIOD_S = CODE_LENGTH / CODE_RATE_HZ   # 1 ms
+CODES_IN_BIT = 20             # C/A periods per nav bit      (nav_data.c:15)
+BIT_RATE_HZ = 50.0
+WORDS_IN_SUBFRAME = 10        # nav_data.c:17
+WORD_LENGTH_BITS = 30         # gps_misc.h:11
+SUBFRAME_DURATION_MS = 6000   # nav_data.c:19
+PREAMBLE_BITS = (1, 0, 0, 0, 1, 0, 1, 1)  # L1 C/A TLM preamble (nav_data.c:26)
+
+# GPS time origin.
+UNIX2GPS_S = 315_964_800      # Unix→GPS epoch offset, s (rtklib_common.c:6)
+GPS_UTC_OFFSET_S = 18         # gps_misc.h:15
+GPS_BUILD_WEEK = 2290         # week rollover pin (config.h:73)
+
+# Nominal single-point offset used for relative pseudorange formation.
+GPS_OFFSET_TIME_MS = 68.802   # gps_master.c:31
+
+
+@dataclass(frozen=True)
+class SignalPlan:
+    """Sampling plan for one IQ capture.
+
+    The TPU-native default is *complex baseband* IQ at 2.046 MHz
+    (2 samples/chip).  The reference firmware's plan (1-bit real samples at
+    16.368 MHz with a 4.092 MHz IF, config.h:23-26) is expressed with the
+    same dataclass and converted to the baseband plan by
+    :mod:`stm32f4_sdr_gps_tpu.signal.capture`.
+    """
+
+    sample_rate_hz: float = 2.046e6
+    if_freq_hz: float = 0.0          # 0 => complex baseband
+    complex_input: bool = True       # False => real-sampled (IF) input
+    quantize_bits: int = 0           # 0 => float samples; 1 => sign-only
+
+    @property
+    def samples_per_epoch(self) -> int:
+        """Samples in one 1 ms C/A code period."""
+        n = self.sample_rate_hz * CODE_PERIOD_S
+        n_int = int(round(n))
+        if abs(n - n_int) > 1e-6:
+            raise ValueError(
+                f"sample_rate_hz={self.sample_rate_hz} is not an integer "
+                "number of samples per 1 ms code period"
+            )
+        return n_int
+
+    @property
+    def samples_per_chip(self) -> float:
+        return self.sample_rate_hz / CODE_RATE_HZ
+
+    @property
+    def chips_per_sample(self) -> float:
+        return CODE_RATE_HZ / self.sample_rate_hz
+
+
+#: TPU-native default: complex baseband, 2 samples/chip.
+BASEBAND_PLAN = SignalPlan()
+
+#: The reference front-end plan: MAX2769 1-bit real sign stream.
+#: config.h:23-26, signal_capture.c:9-11.
+REFERENCE_PLAN = SignalPlan(
+    sample_rate_hz=16.368e6,
+    if_freq_hz=4.092e6,
+    complex_input=False,
+    quantize_bits=1,
+)
+
+
+@dataclass(frozen=True)
+class AcqConfig:
+    """Acquisition engine configuration.
+
+    The grid matches the firmware (config.h:41-44): +/-7 kHz in 500 Hz
+    steps.  The detector is peak/second-peak on FFT circular correlation
+    (TPU-native) instead of serial histogram voting; an epoch-voting mode
+    compatible with the firmware's histogram logic also exists
+    (acquisition.c:196-416).
+    """
+
+    doppler_span_hz: float = 7000.0
+    doppler_step_hz: float = 500.0
+    noncoherent_epochs: int = 10      # epochs summed non-coherently
+    coherent_epochs: int = 1          # epochs summed coherently per NC block
+    detect_ratio: float = 1.5         # peak / second-peak acceptance
+    exclude_chips: float = 1.5        # exclusion zone around peak for 2nd peak
+    # Histogram-vote compat mode (acquisition.c thresholds):
+    hist_ratio: float = 3.2           # acquisition.c:260
+    freq_hist_min_votes: int = 3      # acquisition.c:382
+    freq_hist_ratio: float = 1.7      # acquisition.c:402
+    timeout_ms: int = 120_000         # acquisition.c:13
+
+    @property
+    def doppler_bins_hz(self) -> tuple:
+        n = int(round(2 * self.doppler_span_hz / self.doppler_step_hz)) + 1
+        return tuple(
+            -self.doppler_span_hz + i * self.doppler_step_hz for i in range(n)
+        )
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """Tracking loop configuration.
+
+    Gain constants come from config.h:61-71.  The firmware expresses its
+    DLL state in 1/16-chip units (tracking.c:23 GPS_FINE_RATIO applied to
+    half-chip steps); we track code phase in *chips*, so DLL gains are
+    divided by 16 at the update site.  The firmware services each channel
+    4 of every 17 epochs (TDM) and closes the PLL once per 17 ms slot 0
+    (tracking.c:175-209); our channels run every epoch, so per-epoch gain
+    scaling keeps an equivalent loop bandwidth.
+    """
+
+    epl_spacing_chips: float = 0.5    # E/P/L spacing (tracking.c:122-138)
+    dll_c1: float = 1.0               # TRACKING_DLL1_C1
+    dll_c2: float = 300.0             # TRACKING_DLL1_C2
+    fine_ratio: float = 16.0          # reference fine units per chip
+    pll_wide_c1: float = 4.0          # TRACKING_PLL1_* (before bit sync)
+    pll_wide_c2: float = 3000.0
+    pll_narrow_c1: float = 8.0        # TRACKING_PLL2_* (after bit sync)
+    pll_narrow_c2: float = 5000.0
+    fll_c1: float = 200.0             # TRACKING_FLL1_*
+    fll_c2: float = 2000.0
+    dt_s: float = 1e-3                # epoch period (tracking.c:194)
+    # Loop cadence in epochs. The reference applies PLL once per 17 ms
+    # superframe; running every epoch with the same per-step gains is the
+    # TPU-native default (higher bandwidth, stable at 1 kHz updates).
+    pll_scale: float = 1.0 / 4.0      # per-epoch gain scale vs reference slot cadence
+    fll_scale: float = 1.0 / 4.0
+    snr_window_epochs: int = 200      # GPS_SNR_CALC_LENGTH (tracking.c:26)
+    # False-lock watchdog (tracking.c:261-327):
+    pll_check_window: int = 4         # TRACKING_CH_LENGTH window
+    pll_bad_state_threshold: int = 80  # PLL_BAD_STATE_DETECTION_THRESHOLD
+    # Bit sync (nav_data.c:105-126):
+    bit_sync_up: int = 8              # sync declared above this count
+    bit_sync_down: int = 3            # sync lost below this count
+    bit_sync_max: int = 10
+    # Pre-track refinement zone, half-chips (tracking.c:17)
+    pre_track_zone_halfchips: int = 30
+    pre_track_epochs: int = 20
+
+
+@dataclass(frozen=True)
+class ReceiverConfig:
+    """Top-level receiver configuration (the gps_master + main.c role)."""
+
+    plan: SignalPlan = BASEBAND_PLAN
+    acq: AcqConfig = AcqConfig()
+    track: TrackConfig = TrackConfig()
+    prns: tuple = (1, 2, 3, 4)
+    doppler_hints_hz: tuple = ()      # per-PRN hints; empty => cold search
+    solve_period_ms: int = 500        # GPS_CALC_POS_PERIOD_MS (gps_master.c:37)
+    rtcm_period_ms: int = 200         # GPS_RTCM_SEND_PERIOD_MS (gps_master.c:36)
+    status_period_ms: int = 300       # print_state.c:20-21
+    code_filter_len: int = 100        # CODE_FILTER_LENGTH (config.h:38)
+    enable_code_filter: bool = True   # ENABLE_CODE_FILTER (config.h:36)
+    enable_position: bool = True      # ENABLE_CALC_POSITION (config.h:33)
+    enable_rtcm: bool = False         # ENABLE_RTCM_SEND (config.h:30)
+    track_block_epochs: int = 100     # epochs per jitted tracking scan call
+
+    def replace(self, **kw) -> "ReceiverConfig":
+        return dataclasses.replace(self, **kw)

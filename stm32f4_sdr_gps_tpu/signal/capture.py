@@ -1,0 +1,101 @@
+"""IQ capture ingest: file formats + reference front-end conditioner.
+
+The reference receives a 1-bit real sign stream at 16.368 MHz (IF
+4.092 MHz ~= Fs/4) over SPI as 16-bit LSB-first words
+(``signal_capture.c:9-11, 143-177``) and wipes the carrier off with a
+binary Fs/4 NCO (``gps_misc.c:211-240``).  The TPU-native pipeline works
+on complex baseband at 2.046 MHz; this module converts the reference's
+wire format into that plan so recorded firmware captures remain usable:
+
+    1-bit words --unpack--> +/-1 @16.368MHz --mix e^{-j2pi*IF*t}-->
+    complex @16.368MHz --boxcar-8 decimate--> complex64 @2.046MHz
+
+Packing helpers mirror the SPI bit order so synthetic captures can be
+round-tripped; a native C++ unpacker (native/sdr_native.cpp) accelerates
+the host path and is used by the streaming reader when available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import REFERENCE_PLAN, SignalPlan
+
+REF_DECIMATION = 8  # 16.368 MHz -> 2.046 MHz
+
+
+def pack_bits_lsb16(signs: np.ndarray) -> np.ndarray:
+    """Pack a +/-1 (or 0/1) sample stream into uint16 words, LSB-first —
+    the SPI wire format (signal_capture.c:143-177: 16-bit words, LSB
+    first; bit=1 encodes a positive sign sample)."""
+    bits = (np.asarray(signs).reshape(-1) > 0).astype(np.uint8)
+    if bits.size % 16:
+        raise ValueError("sample count must be a multiple of 16")
+    bits = bits.reshape(-1, 16)
+    weights = (1 << np.arange(16, dtype=np.uint32))
+    return (bits.astype(np.uint32) @ weights).astype(np.uint16)
+
+
+def unpack_bits_lsb16(words: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_bits_lsb16`; returns float32 +/-1."""
+    words = np.asarray(words, dtype=np.uint16)
+    bits = (words[:, None] >> np.arange(16, dtype=np.uint16)) & 1
+    return (bits.astype(np.float32) * 2.0 - 1.0).reshape(-1)
+
+
+def reference_to_baseband(
+    signs: np.ndarray,
+    plan: SignalPlan = REFERENCE_PLAN,
+    decimation: int = REF_DECIMATION,
+    use_jax: bool = True,
+):
+    """Convert +/-1 real samples at the reference plan to complex baseband.
+
+    Exact complex mix at ``plan.if_freq_hz`` followed by a boxcar-``decimation``
+    integrate-and-dump.  Output rate = plan.sample_rate_hz / decimation
+    (2.046 MHz for the reference plan).  Magnitude is normalized so a unit
+    input tone at IF yields ~unit output amplitude.
+    """
+    n = (len(signs) // decimation) * decimation
+    x = np.asarray(signs[:n], dtype=np.float32)
+    fs = plan.sample_rate_hz
+    # IF/fs = 1/4 for the reference plan => the mix sequence is periodic
+    # with period 4 (the firmware's binary quarter-rate trick,
+    # gps_misc.c:216-217); we use the exact complex exponential instead.
+    t = np.arange(n, dtype=np.float64) / fs
+    mix = np.exp(-2j * np.pi * plan.if_freq_hz * t).astype(np.complex64)
+
+    if use_jax:
+        import jax.numpy as jnp
+
+        y = jnp.asarray(x) * jnp.asarray(mix)
+        y = y.reshape(-1, decimation).sum(axis=1) * (2.0 / decimation)
+        return np.asarray(y).astype(np.complex64)
+    y = (x * mix).reshape(-1, decimation).sum(axis=1) * (2.0 / decimation)
+    return y.astype(np.complex64)
+
+
+def read_capture(path: str, fmt: str = "auto") -> np.ndarray:
+    """Read an IQ capture file into complex64.
+
+    Formats:
+      * ``npy``   — .npy holding complex64/complex128
+      * ``cf32``  — interleaved float32 I,Q
+      * ``ci8``   — interleaved int8 I,Q (normalized to [-1, 1])
+      * ``bits16``— reference packed 1-bit words (converted to baseband)
+    """
+    if fmt == "auto":
+        fmt = "npy" if path.endswith(".npy") else "cf32"
+    if fmt == "npy":
+        arr = np.load(path)
+        return np.asarray(arr, dtype=np.complex64)
+    if fmt == "cf32":
+        raw = np.fromfile(path, dtype=np.float32)
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    if fmt == "ci8":
+        raw = np.fromfile(path, dtype=np.int8).astype(np.float32) / 127.0
+        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+    if fmt == "bits16":
+        words = np.fromfile(path, dtype=np.uint16)
+        return reference_to_baseband(unpack_bits_lsb16(words))
+    raise ValueError(f"unknown capture format {fmt!r}")

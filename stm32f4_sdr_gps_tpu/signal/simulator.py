@@ -1,0 +1,146 @@
+"""GPS L1 C/A signal simulator.
+
+Supersedes the reference's single-satellite square-wave fixture
+(``/root/reference/Firmware/project_single_sat/GPS/simulator.c:88-146``,
+noise knob ``:40-58``) with a proper multi-satellite IQ synthesizer:
+
+* carrier at arbitrary Doppler with continuous phase,
+* code NCO with carrier-coherent code Doppler,
+* 50 bps nav-bit modulation (real LNAV subframes via
+  :mod:`stm32f4_sdr_gps_tpu.signal.nav_message`),
+* calibrated C/N0 with complex AWGN,
+* complex-baseband output (TPU plan) or 1-bit real IF output matching the
+  reference front-end format (config.h:23-26).
+
+Ground truth (code phase / Doppler / bit stream per satellite) is returned
+alongside the samples so tests can assert acquisition/tracking/decode
+parity (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..config import (
+    CODE_LENGTH,
+    CODE_RATE_HZ,
+    CODES_IN_BIT,
+    FREQ_L1_HZ,
+    SignalPlan,
+    BASEBAND_PLAN,
+)
+from .ca_code import ca_code_bits
+
+
+@dataclass
+class SimSat:
+    """One simulated satellite signal."""
+
+    prn: int
+    doppler_hz: float = 0.0
+    code_phase_chips: float = 0.0      # code phase at sample 0
+    carrier_phase_cycles: float = 0.0
+    cn0_dbhz: float = 45.0
+    nav_bits: Optional[np.ndarray] = None   # 0/1 bits at 50 bps; None => all 0
+    nav_epoch_offset: int = 0          # code periods until first bit boundary shift
+    code_doppler: bool = True          # scale code rate by (1 + fd/fL1)
+
+
+@dataclass
+class SimTruth:
+    """Per-satellite ground truth of a simulated capture."""
+
+    sats: Sequence[SimSat]
+    plan: SignalPlan
+    noise_sigma: float
+    amplitudes: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+    def code_phase_at_epoch(self, sat_idx: int, epoch: int) -> float:
+        """True code phase (chips, mod 1023) at the start of ``epoch``."""
+        sat = self.sats[sat_idx]
+        rate = CODE_RATE_HZ * (
+            1.0 + (sat.doppler_hz / FREQ_L1_HZ if sat.code_doppler else 0.0)
+        )
+        t = epoch * self.plan.samples_per_epoch / self.plan.sample_rate_hz
+        return float((sat.code_phase_chips + rate * t) % CODE_LENGTH)
+
+
+def _amplitude_for_cn0(cn0_dbhz: float, fs: float, noise_sigma: float) -> float:
+    """Signal amplitude giving the requested C/N0 against complex noise of
+    per-sample variance ``noise_sigma**2`` (N0 = sigma^2 / fs)."""
+    return float(np.sqrt(10.0 ** (cn0_dbhz / 10.0) * noise_sigma**2 / fs))
+
+
+def simulate_capture(
+    sats: Sequence[SimSat],
+    num_epochs: int,
+    plan: SignalPlan = BASEBAND_PLAN,
+    noise_sigma: float = 1.0,
+    seed: int = 0,
+) -> tuple:
+    """Synthesize ``num_epochs`` ms of signal.
+
+    Returns ``(samples, truth)``.  ``samples`` is complex64 of shape
+    ``(num_epochs * samples_per_epoch,)`` for a complex plan, or float32
+    (+/-1 if plan.quantize_bits == 1) for a real-IF plan.
+    """
+    n = num_epochs * plan.samples_per_epoch
+    fs = plan.sample_rate_hz
+    t = np.arange(n, dtype=np.float64) / fs
+
+    rng = np.random.default_rng(seed)
+    total = np.zeros(n, dtype=np.complex128 if plan.complex_input else np.float64)
+    amps = []
+
+    for sat in sats:
+        code = ca_code_bits(sat.prn)
+        bipolar_code = (1 - 2 * code.astype(np.int8)).astype(np.float64)
+
+        code_rate = CODE_RATE_HZ
+        if sat.code_doppler:
+            code_rate *= 1.0 + sat.doppler_hz / FREQ_L1_HZ
+        chip_total = sat.code_phase_chips + code_rate * t
+        chip_idx = np.floor(chip_total).astype(np.int64)
+        c = bipolar_code[chip_idx % CODE_LENGTH]
+
+        # Nav-bit modulation: bit boundaries land on code-period boundaries
+        # of the *transmitted* code (20 periods per bit, nav_data.c:15).
+        period_idx = chip_idx // CODE_LENGTH + sat.nav_epoch_offset
+        if sat.nav_bits is not None:
+            bits = np.asarray(sat.nav_bits, dtype=np.int64)
+            bit_idx = (period_idx // CODES_IN_BIT) % len(bits)
+            d = (1 - 2 * bits[bit_idx]).astype(np.float64)
+        else:
+            d = 1.0
+
+        amp = _amplitude_for_cn0(sat.cn0_dbhz, fs, noise_sigma)
+        amps.append(amp)
+        phase = sat.carrier_phase_cycles + (plan.if_freq_hz + sat.doppler_hz) * t
+        if plan.complex_input:
+            total += amp * d * c * np.exp(2j * np.pi * phase)
+        else:
+            # Real IF signal; same C/N0 definition against real noise of
+            # variance sigma^2 needs sqrt(2) amplitude scaling.
+            total += amp * np.sqrt(2.0) * d * c * np.cos(2 * np.pi * phase)
+
+    if plan.complex_input:
+        noise = noise_sigma * (
+            rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ) / np.sqrt(2.0)
+        samples = (total + noise).astype(np.complex64)
+    else:
+        noise = noise_sigma * rng.standard_normal(n)
+        samples = (total + noise).astype(np.float32)
+        if plan.quantize_bits == 1:
+            samples = np.where(samples >= 0, 1.0, -1.0).astype(np.float32)
+
+    truth = SimTruth(
+        sats=list(sats),
+        plan=plan,
+        noise_sigma=noise_sigma,
+        amplitudes=np.asarray(amps),
+    )
+    return samples, truth

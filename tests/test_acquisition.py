@@ -1,0 +1,86 @@
+"""Acquisition engine tests against simulator ground truth.
+
+Mirrors BASELINE.json config 1 (single-satellite +/-5 kHz grid on a
+2.046 MHz IQ capture, CPU-runnable) and the multi-PRN cold start.
+"""
+
+import numpy as np
+import pytest
+
+from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN
+from stm32f4_sdr_gps_tpu.acquire.engine import acquire, acquire_epoch_vote
+from stm32f4_sdr_gps_tpu.signal.simulator import SimSat, simulate_capture
+
+
+def _phase_err(a, b):
+    return (a - b + 511.5) % 1023.0 - 511.5
+
+
+def test_single_sat_acquisition():
+    sat = SimSat(prn=7, doppler_hz=3210.0, code_phase_chips=123.4,
+                 cn0_dbhz=45.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=3)
+    cfg = AcqConfig(doppler_span_hz=5000.0)
+    res = acquire(x, [7], BASEBAND_PLAN, cfg)[0]
+    assert res.detected
+    assert abs(res.doppler_hz - 3210.0) < 250.0
+    assert abs(_phase_err(res.code_phase_chips, 123.4)) < 0.5
+
+
+def test_absent_prn_not_detected():
+    sat = SimSat(prn=7, doppler_hz=1000.0, cn0_dbhz=45.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=4)
+    res = acquire(x, [13], BASEBAND_PLAN, AcqConfig())[0]
+    assert not res.detected
+
+
+def test_multi_sat_cold_start():
+    sats = [
+        SimSat(prn=2, doppler_hz=-4200.0, code_phase_chips=1000.9,
+               cn0_dbhz=44.0),
+        SimSat(prn=5, doppler_hz=250.0, code_phase_chips=17.0,
+               cn0_dbhz=47.0),
+        SimSat(prn=23, doppler_hz=6500.0, code_phase_chips=512.0,
+               cn0_dbhz=43.0),
+    ]
+    x, _ = simulate_capture(sats, num_epochs=10, seed=5)
+    results = acquire(x, [2, 5, 23, 30], BASEBAND_PLAN, AcqConfig())
+    by_prn = {r.prn: r for r in results}
+    for sat in sats:
+        r = by_prn[sat.prn]
+        assert r.detected, sat.prn
+        assert abs(r.doppler_hz - sat.doppler_hz) < 250.0
+        assert abs(_phase_err(r.code_phase_chips, sat.code_phase_chips)) < 0.5
+    assert not by_prn[30].detected
+
+
+def test_weak_signal_needs_integration():
+    """38 dBHz: 1 epoch is marginal, 10 non-coherent epochs must detect."""
+    sat = SimSat(prn=11, doppler_hz=-1500.0, code_phase_chips=700.0,
+                 cn0_dbhz=38.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=6)
+    res10 = acquire(x, [11], BASEBAND_PLAN, AcqConfig(noncoherent_epochs=10))[0]
+    assert res10.detected
+    assert abs(_phase_err(res10.code_phase_chips, 700.0)) < 0.75
+
+
+def test_epoch_vote_mode_matches():
+    """Firmware-compatible histogram-vote detector finds the same answer."""
+    sat = SimSat(prn=4, doppler_hz=2500.0, code_phase_chips=345.0,
+                 cn0_dbhz=46.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=7)
+    res = acquire_epoch_vote(x, [4], BASEBAND_PLAN, AcqConfig())[0]
+    assert res.detected
+    assert res.doppler_hz == pytest.approx(2500.0, abs=250.0)
+    assert abs(_phase_err(res.code_phase_chips, 345.0)) < 1.0
+
+
+def test_nav_bit_transition_tolerance():
+    """Non-coherent integration must survive bit flips mid-capture."""
+    bits = np.array([0, 1] * 13, dtype=np.int8)
+    sat = SimSat(prn=8, doppler_hz=500.0, code_phase_chips=50.0,
+                 cn0_dbhz=44.0, nav_bits=bits, nav_epoch_offset=10)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=8)
+    res = acquire(x, [8], BASEBAND_PLAN, AcqConfig())[0]
+    assert res.detected
+    assert abs(_phase_err(res.code_phase_chips, 50.0)) < 0.5
