@@ -1,0 +1,231 @@
+"""Single-point positioning: weighted Gauss-Newton least squares.
+
+The non-iterative ``pntpos`` shape of the firmware's RTKLIB-derived
+solver (``solving.c:153-181`` / ``estpos`` :376-449 / ``rescode``
+:711-794 / ``lsq`` :1452-1470) with the same geometry (Sagnac-corrected
+geometric distance, az/el, elevation weighting), correction models
+(Klobuchar, Saastamoinen, TGD) and convergence criterion (|dx|^2 < 1e-8,
+<=10 iterations).  The firmware's time-sliced variants are MCU real-time
+artifacts with no counterpart here.
+
+NX=7 state like the firmware (x,y,z, receiver clock, 3 spare inter-system
+biases constrained to 0, solving.c:31, rescode's rank-deficiency rows
+:784-792).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import CLIGHT
+from .atmosphere import ionocorr, tropcorr
+from .ephpos import satposs
+from .gpstime import GTime, timeadd
+
+NX = 7            # solving.c:31
+MAXITR = 10       # solving.c:30
+EFACT_GPS = 1.0   # solving.c:37
+EVAR = 0.003      # solving.c:39
+
+RE_WGS84 = 6378137.0              # solving.c:33
+FE_WGS84 = 1.0 / 298.257223563    # solving.c:34
+OMGE = 7.2921151467e-5
+
+
+@dataclass
+class Obs:
+    """One pseudorange observation (obsd_t, rtk_common.h:52-61)."""
+
+    sat: int
+    time: GTime
+    P: float                  # pseudorange, m
+    D: float = 0.0            # Doppler, Hz
+    snr: float = 0.0
+
+
+@dataclass
+class Solution:
+    """Receiver solution (sol_t equivalent)."""
+
+    ok: bool = False
+    time: GTime = dfield(default_factory=GTime)
+    rr: np.ndarray = dfield(default_factory=lambda: np.zeros(3))
+    dtr_s: float = 0.0
+    qr: np.ndarray = dfield(default_factory=lambda: np.zeros(6))
+    ns: int = 0
+    pos_llh: np.ndarray = dfield(default_factory=lambda: np.zeros(3))
+    azel_deg: Optional[np.ndarray] = None
+    residuals: Optional[np.ndarray] = None
+    iterations: int = 0
+
+
+def ecef2pos(r):
+    """ECEF -> geodetic (lat, lon, h) rad/m, WGS84 (solving.c:1225-1238)."""
+    e2 = FE_WGS84 * (2.0 - FE_WGS84)
+    r = np.asarray(r, dtype=float)
+    r2 = r[0] ** 2 + r[1] ** 2
+    z, zk, v = r[2], 0.0, RE_WGS84
+    while abs(z - zk) >= 1e-4:
+        zk = z
+        sinp = z / np.sqrt(r2 + z * z)
+        v = RE_WGS84 / np.sqrt(1.0 - e2 * sinp * sinp)
+        z = r[2] + v * e2 * sinp
+    lat = np.arctan(z / np.sqrt(r2)) if r2 > 1e-12 else (
+        np.pi / 2.0 if r[2] > 0 else -np.pi / 2.0
+    )
+    lon = np.arctan2(r[1], r[0]) if r2 > 1e-12 else 0.0
+    return np.array([lat, lon, np.sqrt(r2 + z * z) - v])
+
+
+def pos2ecef(pos):
+    """Geodetic (lat, lon, h) -> ECEF (inverse of ecef2pos)."""
+    lat, lon, h = pos
+    e2 = FE_WGS84 * (2.0 - FE_WGS84)
+    v = RE_WGS84 / np.sqrt(1.0 - e2 * np.sin(lat) ** 2)
+    return np.array([
+        (v + h) * np.cos(lat) * np.cos(lon),
+        (v + h) * np.cos(lat) * np.sin(lon),
+        (v * (1.0 - e2) + h) * np.sin(lat),
+    ])
+
+
+def xyz2enu(pos):
+    """ECEF->ENU rotation at geodetic pos (solving.c:1289-1296)."""
+    sinp, cosp = np.sin(pos[0]), np.cos(pos[0])
+    sinl, cosl = np.sin(pos[1]), np.cos(pos[1])
+    return np.array([
+        [-sinl, cosl, 0.0],
+        [-sinp * cosl, -sinp * sinl, cosp],
+        [cosp * cosl, cosp * sinl, sinp],
+    ])
+
+
+def geodist(rs, rr):
+    """Sagnac-corrected geometric distance + LOS unit vector
+    (solving.c:1248-1258)."""
+    if np.linalg.norm(rs[:3]) < RE_WGS84:
+        return -1.0, np.zeros(3)
+    e = rs[:3] - rr
+    r = np.linalg.norm(e)
+    e = e / r
+    return r + OMGE * (rs[0] * rr[1] - rs[1] * rr[0]) / CLIGHT, e
+
+
+def satazel(pos, e):
+    """Azimuth/elevation of LOS vector (solving.c:1268-1280)."""
+    az, el = 0.0, np.pi / 2.0
+    if pos[2] > -RE_WGS84:
+        enu = xyz2enu(pos) @ e
+        az = 0.0 if enu[0] ** 2 + enu[1] ** 2 < 1e-12 else np.arctan2(
+            enu[0], enu[1]
+        )
+        if az < 0.0:
+            az += 2 * np.pi
+        el = np.arcsin(np.clip(enu[2], -1.0, 1.0))
+    return np.array([az, el])
+
+
+def _varerr(el):
+    """Elevation-dependent measurement variance (solving.c:591-597)."""
+    varr = EVAR**2 * (EVAR**2 + EVAR**2 / np.sin(el))
+    return EFACT_GPS**2 * varr
+
+
+def rescode(obs_list, rs, dts, vare, svh, eph_map, x, ion_params=None):
+    """Pseudorange residuals + design matrix (solving.c:711-794).
+
+    Returns (v, H, var, azel, ns) with the firmware's rank-deficiency
+    constraint rows for the 3 unused inter-system biases appended.
+    """
+    rr = x[:3]
+    pos = ecef2pos(rr)
+    v, rows, var = [], [], []
+    azel = np.zeros((len(obs_list), 2))
+    ns = 0
+    for i, obs in enumerate(obs_list):
+        r, e = geodist(rs[i], rr)
+        if r <= 0.0:
+            continue
+        azel[i] = satazel(pos, e)
+        if azel[i][1] < 0.0:
+            continue
+        if svh[i]:
+            continue
+        eph = eph_map.get(obs.sat)
+        tgd_m = CLIGHT * eph.tgd if eph is not None else 0.0
+        P = obs.P - tgd_m
+        dion, vion = ionocorr(obs.time, ion_params, pos, azel[i])
+        dtrp, vtrp = tropcorr(pos, azel[i])
+        v.append(P - (r + dion + dtrp + x[3] - CLIGHT * dts[i][0]))
+        row = np.zeros(NX)
+        row[:3] = -e
+        row[3] = 1.0
+        rows.append(row)
+        var.append(_varerr(azel[i][1]) + vare[i] + vion + vtrp)
+        ns += 1
+    # constraint rows for unused bias states (solving.c:784-792)
+    for k in range(4, NX):
+        v.append(0.0)
+        row = np.zeros(NX)
+        row[k] = 1.0
+        rows.append(row)
+        var.append(0.01)
+    return (np.asarray(v), np.asarray(rows), np.asarray(var), azel, ns)
+
+
+def lsq(H, v):
+    """Normal-equation least squares: x = (H'H)^-1 H'v, Q = (H'H)^-1
+    (solving.c:1452-1470; LU inversion replaced by numpy solve)."""
+    A = H.T @ H
+    Q = np.linalg.inv(A)
+    dx = Q @ (H.T @ v)
+    return dx, Q
+
+
+def estpos(obs_list, rs, dts, vare, svh, eph_map, x0=None, ion_params=None):
+    """Gauss-Newton position estimate (estpos, solving.c:376-449)."""
+    x = np.zeros(NX)
+    if x0 is not None:
+        x[:3] = x0[:3]
+    sol = Solution()
+    for it in range(MAXITR):
+        v, H, var, azel, ns = rescode(
+            obs_list, rs, dts, vare, svh, eph_map, x, ion_params
+        )
+        if len(v) < NX:
+            break
+        sig = np.sqrt(var)
+        vw = v / sig
+        Hw = H / sig[:, None]
+        dx, Q = lsq(Hw, vw)
+        x += dx
+        if float(dx @ dx) < 1e-8:  # solving.c:420
+            sol.ok = True
+            sol.time = timeadd(obs_list[0].time, -x[3] / CLIGHT)
+            sol.dtr_s = x[3] / CLIGHT
+            sol.rr = x[:3].copy()
+            sol.qr = np.array([Q[0, 0], Q[1, 1], Q[2, 2],
+                               Q[0, 1], Q[1, 2], Q[0, 2]])
+            sol.ns = ns
+            sol.pos_llh = ecef2pos(sol.rr)
+            sol.azel_deg = np.degrees(azel)
+            sol.residuals = v[: len(obs_list)]
+            sol.iterations = it + 1
+            return sol
+    sol.iterations = MAXITR
+    return sol
+
+
+def pntpos(obs_list: List[Obs], eph_map: Dict[int, object],
+           x0=None, ion_params=None) -> Solution:
+    """Single-point position from pseudoranges (pntpos, solving.c:153-181):
+    satposs -> estpos."""
+    if not obs_list:
+        return Solution()
+    rs, dts, var, svh, ok = satposs(obs_list[0].time, obs_list, eph_map)
+    if not ok.all():
+        return Solution()
+    return estpos(obs_list, rs, dts, var, svh, eph_map, x0, ion_params)

@@ -1,0 +1,166 @@
+"""PVT solver tests: Kepler propagation, models, and position recovery."""
+
+import numpy as np
+import pytest
+
+from stm32f4_sdr_gps_tpu.config import CLIGHT
+from stm32f4_sdr_gps_tpu.nav.ephemeris import Ephemeris
+from stm32f4_sdr_gps_tpu.pvt.atmosphere import ionocorr, tropcorr
+from stm32f4_sdr_gps_tpu.pvt.ephpos import eph2clk, eph2pos, satposs
+from stm32f4_sdr_gps_tpu.pvt.gpstime import (
+    gpst2time,
+    time2gpst,
+    timeadd,
+    timediff,
+)
+from stm32f4_sdr_gps_tpu.pvt.solve import (
+    Obs,
+    ecef2pos,
+    geodist,
+    pntpos,
+    pos2ecef,
+    satazel,
+)
+
+WEEK = 2290
+TOE = 352800.0
+
+
+def make_eph(sat, M0, OMG0, i0=0.96, e=0.01, omg=0.5):
+    eph = Ephemeris(sat=sat)
+    eph.A = 26560278.1
+    eph.e = e
+    eph.i0 = i0
+    eph.OMG0 = OMG0
+    eph.omg = omg
+    eph.M0 = M0
+    eph.deln = 4.0e-09
+    eph.OMGd = -8.0e-09
+    eph.idot = -5e-10
+    eph.crc, eph.crs = 200.0, -100.0
+    eph.cuc, eph.cus = -5e-06, 5e-06
+    eph.cic, eph.cis = -1e-08, 1e-07
+    eph.toes = TOE
+    eph.toe = gpst2time(WEEK, TOE)
+    eph.toc = gpst2time(WEEK, TOE)
+    eph.f0, eph.f1, eph.f2 = 2.5e-04, -3.5e-12, 0.0
+    eph.tgd = -1.2e-08
+    eph.sva = 2
+    eph.week = WEEK
+    eph.received_mask_proc = 0x7
+    return eph
+
+
+def test_gpstime_roundtrip():
+    t = gpst2time(WEEK, 123456.789)
+    tow, week = time2gpst(t)
+    assert week == WEEK
+    assert tow == pytest.approx(123456.789, abs=1e-6)
+    t2 = timeadd(t, -0.25)
+    assert timediff(t2, t) == pytest.approx(-0.25, abs=1e-9)
+
+
+def test_eph2pos_orbit_radius():
+    eph = make_eph(1, M0=0.3, OMG0=1.0)
+    t = gpst2time(WEEK, TOE + 120.0)
+    pos, dts, var = eph2pos(t, eph)
+    r = np.linalg.norm(pos)
+    # orbit radius within A*(1 +/- e) plus harmonic corrections
+    assert eph.A * (1 - 2 * eph.e) < r < eph.A * (1 + 2 * eph.e)
+    assert abs(dts - 2.5e-04) < 1e-5   # clock poly dominates
+    assert var > 0
+
+
+def test_eph2clk_inverts_polynomial():
+    eph = make_eph(1, M0=0.0, OMG0=0.0)
+    t = gpst2time(WEEK, TOE + 10.0)
+    dts = eph2clk(t, eph)
+    # forward-evaluate at corrected time: consistency to sub-ns
+    tk = timediff(t, eph.toc) - dts
+    assert dts == pytest.approx(eph.f0 + eph.f1 * tk, abs=1e-12)
+
+
+def test_ecef_geodetic_roundtrip():
+    pos = np.array([np.radians(52.1), np.radians(4.3), 61.0])
+    r = pos2ecef(pos)
+    back = ecef2pos(r)
+    assert np.allclose(back[:2], pos[:2], atol=1e-9)
+    assert back[2] == pytest.approx(61.0, abs=1e-3)
+
+
+def test_models_reasonable():
+    pos = np.array([np.radians(45.0), np.radians(7.0), 200.0])
+    t = gpst2time(WEEK, 43200.0)
+    for el_deg in (15.0, 45.0, 90.0):
+        azel = np.array([1.0, np.radians(el_deg)])
+        dion, vion = ionocorr(t, None, pos, azel)
+        dtrp, vtrp = tropcorr(pos, azel)
+        assert 0.5 < dion < 40.0
+        assert 1.5 < dtrp < 30.0
+        assert vion >= 0 and vtrp > 0
+
+
+def _forward_pseudorange(obs_time, eph, rr, dtr_s, eph_map):
+    """Fixed-point: P such that the solver's residual model is zero."""
+    from stm32f4_sdr_gps_tpu.pvt.atmosphere import ionocorr, tropcorr
+
+    P = 2.2e7
+    pos = ecef2pos(rr)
+    for _ in range(8):
+        o = Obs(sat=eph.sat, time=obs_time, P=P)
+        rs, dts, var, svh, ok = satposs(obs_time, [o], eph_map)
+        r, e = geodist(rs[0], rr)
+        azel = satazel(pos, e)
+        dion, _ = ionocorr(obs_time, None, pos, azel)
+        dtrp, _ = tropcorr(pos, azel)
+        P = (r + dion + dtrp + CLIGHT * dtr_s - CLIGHT * dts[0][0]
+             + CLIGHT * eph.tgd)
+    return P
+
+
+def test_pntpos_recovers_position():
+    """Solver must recover a known receiver position from self-consistent
+    pseudoranges of 6 satellites (cm-level: the forward model is the
+    solver's own)."""
+    rr_true = pos2ecef(np.array([np.radians(51.5), np.radians(-0.1), 80.0]))
+    dtr_true = 3.2e-4   # receiver clock bias, s
+    obs_time = gpst2time(WEEK, TOE + 60.0)
+
+    sats = []
+    # (M0, OMG0) pairs giving 6 satellites above 15 deg elevation with
+    # spread azimuths as seen from the test location.
+    geom = [
+        (1.5, 4.65), (1.0, 5.17), (0.5, 0.0), (1.0, 5.68),
+        (1.5, 4.13), (2.0, 4.13),
+    ]
+    eph_map = {}
+    for k, (m0, omg0) in enumerate(geom, start=1):
+        eph = make_eph(k, M0=m0, OMG0=omg0)
+        eph_map[k] = eph
+        sats.append(eph)
+
+    obs = []
+    for eph in sats:
+        P = _forward_pseudorange(obs_time, eph, rr_true, dtr_true, eph_map)
+        # keep only satellites above horizon
+        o = Obs(sat=eph.sat, time=obs_time, P=P)
+        rs, dts, var, svh, ok = satposs(obs_time, [o], eph_map)
+        r, e = geodist(rs[0], rr_true)
+        if satazel(ecef2pos(rr_true), e)[1] > np.radians(10.0):
+            obs.append(o)
+    assert len(obs) >= 4, "test geometry must give >=4 visible sats"
+
+    sol = pntpos(obs, eph_map)
+    assert sol.ok
+    err = np.linalg.norm(sol.rr - rr_true)
+    assert err < 0.1, f"position error {err} m"
+    assert sol.dtr_s == pytest.approx(dtr_true, abs=1e-9)
+    assert sol.ns == len(obs)
+    assert np.max(np.abs(sol.residuals[: len(obs)])) < 0.05
+
+
+def test_pntpos_fails_gracefully_with_few_sats():
+    eph_map = {1: make_eph(1, 0.3, 0.9)}
+    t = gpst2time(WEEK, TOE + 60.0)
+    sol = pntpos([Obs(sat=1, time=t, P=2.2e7)], eph_map)
+    assert not sol.ok
