@@ -157,6 +157,8 @@ class TrackConfig:
     bit_sync_up: int = 8              # sync declared above this count
     bit_sync_down: int = 3            # sync lost below this count
     bit_sync_max: int = 10
+    codes_in_bit: int = CODES_IN_BIT  # C/A periods per nav bit (20; test
+    #                                   configs may compress time)
     # Pre-track refinement zone, half-chips (tracking.c:17)
     pre_track_zone_halfchips: int = 30
     pre_track_epochs: int = 20

@@ -1,0 +1,101 @@
+"""Observables assembly: relative pseudorange formation.
+
+Implements the capability of ``gps_master_nav_handling`` /
+``gps_master_final_pseudorange_calc`` (gps_master.c:159-329) on top of
+the framework's explicit sample-index ledger, with one structural
+improvement over the firmware:
+
+The firmware combines the integer-ms subframe-boundary ledger with the
+fractional code phase directly and patches up the two failure modes of
+that split — bit-edge-vs-epoch rounding (the "accurate swap time"
+refinement, nav_data.c:145-218) and code-phase wraps between subframes
+(the +/-1 ms pending correction, gps_master.c:315-323).  We instead
+*reconstruct* the true boundary arrival time
+
+    arrival_ms = round(subframe_epoch_ms - frac_ms) + frac_ms,
+
+where ``frac_ms = (1023 - code_phase_chips)/1023`` is the sub-ms signal
+delay measured by the code NCO at the measurement epoch.  Because code
+drift between subframes is microseconds (max ~3 chips/s of code
+Doppler), the round() resolves the integer ambiguity exactly and absorbs
+code wraps continuously — both firmware patch-ups become unnecessary.
+
+Pseudoranges are then relative with the firmware's nominal offset:
+``PR_i = (68.802 ms + arrival_i - arrival_ref) * c`` (gps_master.c:31,
+324), reference satellite = earliest boundary (closest satellite,
+gps_master.c:180-184).  The firmware's per-channel TDM skew term
+(i * TRACKING_CH_LENGTH ms, gps_master.c:326-327) is identically zero
+here because all channels sample the same epoch (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import CLIGHT, CODE_LENGTH, GPS_OFFSET_TIME_MS
+from .gpstime import gpst2time
+from .solve import Obs
+
+CLIGHT_PER_MS = CLIGHT / 1000.0   # CLIGHT_NORM (gps_master.c:33)
+
+
+@dataclass
+class ChannelObservables:
+    """Per-channel inputs to pseudorange formation."""
+
+    prn: int
+    subframe_time_ms: int        # receiver epoch of last subframe boundary
+    tow_s: float                 # TOW labelling that boundary (from HOW)
+    week: int
+    code_phase_chips: float      # tracked code phase at the meas epoch
+    doppler_hz: float
+    snr_db: float
+
+
+def boundary_arrival_ms(subframe_time_ms: int, code_phase_chips: float) -> float:
+    """Reconstructed sub-ms arrival time of the subframe boundary,
+    propagated to the measurement epoch by the code NCO (see module
+    docstring)."""
+    frac = (CODE_LENGTH - (code_phase_chips % CODE_LENGTH)) / CODE_LENGTH
+    return float(np.round(subframe_time_ms - frac) + frac)
+
+
+def form_observations(
+    channels: List[ChannelObservables],
+    meas_epoch_ms: int,
+    max_spread_ms: float = 100.0,
+) -> Optional[List[Obs]]:
+    """Form one obs set at ``meas_epoch_ms``; None if not ready.
+
+    All channels must hold a subframe boundary within ``max_spread_ms``
+    of each other (gps_master.c:199-201 epoch-alignment gate).
+    """
+    if not channels or any(c.subframe_time_ms == 0 for c in channels):
+        return None
+    arrivals = np.array(
+        [boundary_arrival_ms(c.subframe_time_ms, c.code_phase_chips)
+         for c in channels]
+    )
+    if arrivals.max() - arrivals.min() > max_spread_ms:
+        return None
+    ref = int(np.argmin(arrivals))
+    ref_ch = channels[ref]
+    elapsed_ms = meas_epoch_ms - arrivals[ref]
+    if elapsed_ms < 0:
+        return None
+
+    tow = ref_ch.tow_s + elapsed_ms / 1000.0
+    obs_time = gpst2time(ref_ch.week, tow)
+
+    out: List[Obs] = []
+    for ch, arr in zip(channels, arrivals):
+        rel_tof_ms = arr - arrivals[ref]
+        pr = (GPS_OFFSET_TIME_MS + rel_tof_ms) * CLIGHT_PER_MS
+        out.append(
+            Obs(sat=ch.prn, time=obs_time, P=pr, D=ch.doppler_hz,
+                snr=ch.snr_db)
+        )
+    return out

@@ -1,0 +1,151 @@
+"""ctypes bindings to the native ingest library (native/sdr_native.cpp).
+
+Builds the library on demand with the repo Makefile (g++); all entry
+points degrade to NumPy fallbacks when the toolchain is unavailable, so
+the framework stays importable anywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libsdr_native.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libsdr_native.so"],
+            cwd=os.path.abspath(_NATIVE_DIR),
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.sdr_unpack_bits16.argtypes = [u16p, ctypes.c_int64, f32p]
+    lib.sdr_pack_bits16.argtypes = [f32p, ctypes.c_int64, u16p]
+    lib.sdr_correlate_1bit.argtypes = [
+        u8p, u8p, u8p, ctypes.c_int32, ctypes.c_int32, i32p, i32p
+    ]
+    lib.sdr_correlation_search.argtypes = [
+        u8p, u8p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p
+    ]
+    lib.sdr_correlation_search.restype = ctypes.c_int32
+    lib.sdr_ring_create.argtypes = [ctypes.c_int64]
+    lib.sdr_ring_create.restype = ctypes.c_void_p
+    lib.sdr_ring_destroy.argtypes = [ctypes.c_void_p]
+    for fn in ("sdr_ring_available", "sdr_ring_space"):
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        getattr(lib, fn).restype = ctypes.c_int64
+    lib.sdr_ring_push.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.sdr_ring_push.restype = ctypes.c_int64
+    lib.sdr_ring_pop.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.sdr_ring_pop.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def unpack_bits16(words: np.ndarray) -> np.ndarray:
+    """uint16 LSB-first words -> float32 +/-1 samples (native fast path;
+    NumPy fallback matches capture.unpack_bits_lsb16)."""
+    words = np.ascontiguousarray(words, dtype=np.uint16)
+    lib = get_lib()
+    if lib is None:
+        from ..signal.capture import unpack_bits_lsb16
+
+        return unpack_bits_lsb16(words)
+    out = np.empty(len(words) * 16, dtype=np.float32)
+    lib.sdr_unpack_bits16(words, len(words), out)
+    return out
+
+
+def pack_bits16(signs: np.ndarray) -> np.ndarray:
+    signs = np.ascontiguousarray(signs, dtype=np.float32)
+    if len(signs) % 16:
+        raise ValueError("sample count must be a multiple of 16")
+    lib = get_lib()
+    if lib is None:
+        from ..signal.capture import pack_bits_lsb16
+
+        return pack_bits_lsb16(signs)
+    out = np.empty(len(signs) // 16, dtype=np.uint16)
+    lib.sdr_pack_bits16(signs, len(out), out)
+    return out
+
+
+def correlate_1bit_oracle(data_i: np.ndarray, data_q: np.ndarray,
+                          prn: np.ndarray, offset: int):
+    """Firmware-exact packed-bit correlation (gps_correlation_iq
+    semantics); None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    si = ctypes.c_int32()
+    sq = ctypes.c_int32()
+    lib.sdr_correlate_1bit(
+        np.ascontiguousarray(data_i, np.uint8),
+        np.ascontiguousarray(data_q, np.uint8),
+        np.ascontiguousarray(prn, np.uint8),
+        len(prn), offset, ctypes.byref(si), ctypes.byref(sq),
+    )
+    return si.value, sq.value
+
+
+class NativeRing:
+    """SPSC ring buffer over the native library (streaming ingest)."""
+
+    def __init__(self, capacity_floats: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sdr_ring_create(capacity_floats)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.sdr_ring_destroy(self._h)
+            self._h = None
+
+    def push(self, arr: np.ndarray) -> bool:
+        arr = np.ascontiguousarray(arr, dtype=np.float32)
+        return bool(self._lib.sdr_ring_push(self._h, arr, len(arr)))
+
+    def pop(self, n: int) -> Optional[np.ndarray]:
+        out = np.empty(n, dtype=np.float32)
+        if not self._lib.sdr_ring_pop(self._h, out, n):
+            return None
+        return out
+
+    @property
+    def available(self) -> int:
+        return self._lib.sdr_ring_available(self._h)

@@ -1,0 +1,256 @@
+"""Streaming receiver: acquisition → pre-track → tracking → decode → PVT.
+
+The TPU-native counterpart of the firmware's orchestration layer
+(``main.c`` dispatch loop + ``gps_master.c`` channel sequencing).  The
+firmware interleaves acquisition and tracking under a 1 ms hard-real-time
+budget with TDM channel slots; here each stage is an explicit batched
+program over a recorded/streamed capture:
+
+1. **Acquire** — FFT cube over all PRNs at once (replaces the
+   channel-at-a-time frequency search sequencing, gps_master.c:91-120).
+2. **Pre-track** — vectorized code-phase refinement (tracking.c:398-499).
+3. **Track** — jitted ``lax.scan`` blocks over epochs, all channels
+   batched; device outputs stream to the host.
+4. **Decode** — per-channel nav framers consume 20 ms bit events;
+   subframes update ephemerides (nav_data.c / nav_data_decode.c roles).
+5. **Solve** — observables formed on the sample ledger at the solve
+   cadence, Gauss-Newton PVT (gps_master.c:392-425).
+
+The whole receiver state is checkpointable (runtime.checkpoint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..acquire.engine import AcqResult, acquire
+from ..config import ReceiverConfig, WORDS_IN_SUBFRAME, WORD_LENGTH_BITS
+from ..nav.ephemeris import Ephemeris, decode_subframe, getbitu
+from ..nav.frame import NavFramer
+from ..pvt.observables import ChannelObservables, form_observations
+from ..pvt.solve import Solution, pntpos
+from ..signal.ca_code import ca_table_bipolar
+from ..track.pretrack import refine_code_phase
+from ..track.scan import track_block
+from ..track.state import TrackState, init_state
+
+
+@dataclass
+class ChannelStatus:
+    """Host-side per-channel bookkeeping (the gps_ch_t role)."""
+
+    prn: int
+    acq: Optional[AcqResult] = None
+    framer: NavFramer = field(default_factory=NavFramer)
+    eph: Ephemeris = field(default_factory=Ephemeris)
+    subframe_time_ms: int = 0     # last subframe boundary (ledger ms)
+    subframe_tow_s: float = 0.0   # TOW labelling that boundary
+    subframe_count: int = 0
+    bit_count: int = 0
+    snr_db: float = 0.0
+    doppler_hz: float = 0.0
+    code_phase_chips: float = 0.0
+    state_name: str = "IDLE"
+
+
+@dataclass
+class ReceiverReport:
+    """Result of processing a capture."""
+
+    channels: List[ChannelStatus]
+    solutions: List[Solution]
+    solution_epochs_ms: List[int]
+    epochs_processed: int = 0
+
+
+class Receiver:
+    """Multi-channel GPS L1 C/A receiver over a sample stream."""
+
+    def __init__(self, config: ReceiverConfig):
+        self.config = config
+        self.channels: List[ChannelStatus] = [
+            ChannelStatus(prn=p) for p in config.prns
+        ]
+        self.track_state: Optional[TrackState] = None
+        self.code_table = None
+        self.epoch_cursor = 0        # global sample ledger, epochs (= ms)
+        self.solutions: List[Solution] = []
+        self.solution_epochs: List[int] = []
+        self._last_solve_ms = 0
+        self._status_cb = None
+
+    # -- stages -----------------------------------------------------------
+
+    def acquire_all(self, samples: np.ndarray) -> List[AcqResult]:
+        """Stage 1: cold acquisition for every configured PRN.
+
+        Doppler hints (main.c:59-73 capability) narrow the grid check —
+        a hinted channel keeps the hint if the FFT peak confirms it."""
+        cfg = self.config
+        results = acquire(samples, list(cfg.prns), cfg.plan, cfg.acq)
+        for ch, res in zip(self.channels, results):
+            ch.acq = res
+            ch.state_name = "ACQ_DONE" if res.detected else "ACQ_FAILED"
+        return results
+
+    def start_tracking(self, samples: np.ndarray,
+                       start_epoch: int = 0) -> None:
+        """Stages 2-3 init: pre-track refinement + tracking state."""
+        cfg = self.config
+        live = [ch for ch in self.channels if ch.acq and ch.acq.detected]
+        if not live:
+            raise RuntimeError("no channels acquired")
+        prns = [ch.prn for ch in live]
+        self.channels = live
+        table_np = ca_table_bipolar(prns)
+        phases = np.array([ch.acq.code_phase_chips for ch in live])
+        dopplers = np.array([ch.acq.doppler_hz for ch in live])
+        refined = refine_code_phase(
+            samples, table_np, phases, dopplers, cfg.plan, cfg.track
+        )
+        self.code_table = jnp.asarray(table_np)
+        self.track_state = init_state(
+            len(live), refined, dopplers, start_epoch=start_epoch
+        )
+        for ch in live:
+            ch.state_name = "TRACKING"
+
+    def process_block(self, samples: np.ndarray) -> None:
+        """Stages 3-5 for one block of whole epochs."""
+        cfg = self.config
+        spe = cfg.plan.samples_per_epoch
+        n_epochs = len(samples) // spe
+        epochs = jnp.asarray(
+            samples[: n_epochs * spe].reshape(n_epochs, spe), jnp.complex64
+        )
+        self.track_state, outs = track_block(
+            self.track_state, epochs, self.code_table, cfg.plan, cfg.track
+        )
+        self._consume_outputs(outs, n_epochs)
+        self.epoch_cursor += n_epochs
+
+    def _consume_outputs(self, outs, n_epochs: int) -> None:
+        """Host side: bits → framers → subframes → ephemeris; solve."""
+        cfg = self.config
+        bit_ready = np.asarray(outs.bit_ready)
+        bit_value = np.asarray(outs.bit_value)
+        bit_epoch = np.asarray(outs.bit_epoch)
+        snr = np.asarray(outs.snr_db)
+        dop = np.asarray(outs.doppler_hz)
+        cp = np.asarray(outs.code_phase_chips)
+
+        for c, ch in enumerate(self.channels):
+            events = np.nonzero(bit_ready[:, c])[0]
+            for t in events:
+                ch.bit_count += 1
+                for sf in ch.framer.push_bit(
+                    int(bit_value[t, c]), int(bit_epoch[t, c])
+                ):
+                    sf_id = decode_subframe(sf.bits, ch.eph)
+                    ch.eph.sat = ch.prn
+                    ch.subframe_count += 1
+                    # boundary the HOW TOW labels = subframe start + 6 s
+                    # (300 bits x codes_in_bit ms per bit)
+                    sf_ms = (WORDS_IN_SUBFRAME * WORD_LENGTH_BITS
+                             * cfg.track.codes_in_bit)
+                    ch.subframe_time_ms = sf.start_epoch_ms + sf_ms
+                    ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
+            ch.snr_db = float(snr[-1, c])
+            ch.doppler_hz = float(dop[-1, c])
+            ch.code_phase_chips = float(cp[-1, c])
+            if cfg.enable_code_filter:
+                ch.code_phase_chips = self._filtered_code_phase(
+                    cp[:, c], ch.doppler_hz
+                )
+
+        # PVT at the solve cadence (gps_master.c:392-425)
+        end_ms = self.epoch_cursor + n_epochs
+        if (
+            cfg.enable_position
+            and end_ms - self._last_solve_ms >= cfg.solve_period_ms
+        ):
+            self._last_solve_ms = end_ms
+            self._try_solve(end_ms - 1, cp[-1])
+
+    def _filtered_code_phase(self, cp_hist: np.ndarray,
+                             doppler_hz: float) -> float:
+        """Code-phase smoothing: drift-detrended average of the last K
+        epochs, referenced to the final epoch.
+
+        The capability of the firmware's code filter
+        (gps_master_filter_code_phase, gps_master.c:332-388; 100
+        measurements, config.h:38) — but detrending with the known code
+        Doppler instead of halving the window timestamp, so no wrap
+        special-casing is needed."""
+        from ..config import CODE_LENGTH, FREQ_L1_HZ
+
+        k = min(self.config.code_filter_len, len(cp_hist))
+        seg = np.asarray(cp_hist[-k:], dtype=np.float64)
+        drift = CODE_LENGTH * doppler_hz / FREQ_L1_HZ   # chips per epoch
+        expected = drift * (np.arange(k) - (k - 1))
+        resid = seg - seg[-1] - expected
+        resid = (resid + CODE_LENGTH / 2) % CODE_LENGTH - CODE_LENGTH / 2
+        return float((seg[-1] + resid.mean()) % CODE_LENGTH)
+
+    def _try_solve(self, meas_epoch_ms: int, code_phases) -> None:
+        ready = [ch for ch in self.channels if ch.eph.has_full_set
+                 and ch.subframe_time_ms > 0]
+        if len(ready) < 4:
+            return
+        chobs = [
+            ChannelObservables(
+                prn=ch.prn,
+                subframe_time_ms=ch.subframe_time_ms,
+                tow_s=ch.subframe_tow_s,
+                week=ch.eph.week,
+                code_phase_chips=ch.code_phase_chips,
+                doppler_hz=ch.doppler_hz,
+                snr_db=ch.snr_db,
+            )
+            for ch in ready
+        ]
+        obs = form_observations(chobs, meas_epoch_ms)
+        if obs is None:
+            return
+        eph_map = {ch.prn: ch.eph for ch in ready}
+        x0 = self.solutions[-1].rr if self.solutions else None
+        sol = pntpos(obs, eph_map, x0=x0)
+        if sol.ok:
+            self.solutions.append(sol)
+            self.solution_epochs.append(meas_epoch_ms)
+
+    # -- top level --------------------------------------------------------
+
+    def run(self, samples: np.ndarray,
+            status_callback=None) -> ReceiverReport:
+        """Process a whole capture end-to-end."""
+        cfg = self.config
+        spe = cfg.plan.samples_per_epoch
+        self._status_cb = status_callback
+
+        self.acquire_all(samples)
+        acq_epochs = cfg.acq.noncoherent_epochs
+        self.start_tracking(samples[acq_epochs * spe:],
+                            start_epoch=acq_epochs)
+        self.epoch_cursor = acq_epochs
+
+        block = cfg.track_block_epochs * spe
+        pos = acq_epochs * spe
+        while pos + spe <= len(samples):
+            chunk = samples[pos: pos + block]
+            if len(chunk) < spe:
+                break
+            self.process_block(chunk)
+            pos += (len(chunk) // spe) * spe
+            if status_callback is not None:
+                status_callback(self)
+        return ReceiverReport(
+            channels=self.channels,
+            solutions=self.solutions,
+            solution_epochs_ms=self.solution_epochs,
+            epochs_processed=self.epoch_cursor,
+        )

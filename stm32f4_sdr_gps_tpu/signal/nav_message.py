@@ -225,9 +225,11 @@ def encode_subframe_filler(subframe_id: int, tow_6s: int) -> list:
 
 
 def build_bitstream(eph: dict, start_tow_6s: int, num_subframes: int,
-                    d29: int = 0, d30: int = 0) -> np.ndarray:
+                    d29: int = 0, d30: int = 0,
+                    subframe_ids=None) -> np.ndarray:
     """Build a transmitted LNAV bit stream of ``num_subframes`` subframes
-    cycling 1,2,3,4,5 starting at subframe 1, with correct cross-word and
+    cycling 1,2,3,4,5 starting at subframe 1 (or an explicit
+    ``subframe_ids`` sequence), with correct cross-word and
     cross-subframe parity chaining.  Returns int8 bits (0/1), 300 bits per
     subframe, 50 bps.
 
@@ -242,9 +244,10 @@ def build_bitstream(eph: dict, start_tow_6s: int, num_subframes: int,
         4: lambda tow: encode_subframe_filler(4, tow),
         5: lambda tow: encode_subframe_filler(5, tow),
     }
+    if subframe_ids is None:
+        subframe_ids = [(k % 5) + 1 for k in range(num_subframes)]
     stream = []
-    for k in range(num_subframes):
-        sf_id = (k % 5) + 1
+    for k, sf_id in enumerate(subframe_ids):
         src = encoders[sf_id](start_tow_6s + k + 1)
         words, d29, d30 = _subframe_words(src, d29, d30)
         for w in words:

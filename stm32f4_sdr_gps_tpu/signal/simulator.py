@@ -47,6 +47,12 @@ class SimSat:
     nav_bits: Optional[np.ndarray] = None   # 0/1 bits at 50 bps; None => all 0
     nav_epoch_offset: int = 0          # code periods until first bit boundary shift
     code_doppler: bool = True          # scale code rate by (1 + fd/fL1)
+    codes_in_bit: int = CODES_IN_BIT   # compressed-time tests may lower this
+    # Exact signal delay: when set, overrides code_phase_chips /
+    # nav_epoch_offset so that bit k of nav_bits starts arriving at
+    # t = delay_ms + k*codes_in_bit ms — a physically consistent TOF for
+    # pseudorange tests.  Bits "before" t=0 wrap to the stream end.
+    delay_ms: Optional[float] = None
 
 
 @dataclass
@@ -65,7 +71,11 @@ class SimTruth:
             1.0 + (sat.doppler_hz / FREQ_L1_HZ if sat.code_doppler else 0.0)
         )
         t = epoch * self.plan.samples_per_epoch / self.plan.sample_rate_hz
-        return float((sat.code_phase_chips + rate * t) % CODE_LENGTH)
+        if sat.delay_ms is not None:
+            base = -rate * sat.delay_ms * 1e-3
+        else:
+            base = sat.code_phase_chips
+        return float((base + rate * t) % CODE_LENGTH)
 
 
 def _amplitude_for_cn0(cn0_dbhz: float, fs: float, noise_sigma: float) -> float:
@@ -80,18 +90,40 @@ def simulate_capture(
     plan: SignalPlan = BASEBAND_PLAN,
     noise_sigma: float = 1.0,
     seed: int = 0,
+    chunk_epochs: int = 2000,
 ) -> tuple:
     """Synthesize ``num_epochs`` ms of signal.
 
     Returns ``(samples, truth)``.  ``samples`` is complex64 of shape
     ``(num_epochs * samples_per_epoch,)`` for a complex plan, or float32
-    (+/-1 if plan.quantize_bits == 1) for a real-IF plan.
+    (+/-1 if plan.quantize_bits == 1) for a real-IF plan.  Generation is
+    chunked so float64 intermediates stay bounded on long captures.
     """
-    n = num_epochs * plan.samples_per_epoch
-    fs = plan.sample_rate_hz
-    t = np.arange(n, dtype=np.float64) / fs
-
+    spe = plan.samples_per_epoch
+    out = []
+    amps_out = None
     rng = np.random.default_rng(seed)
+    for start in range(0, num_epochs, chunk_epochs):
+        n_ep = min(chunk_epochs, num_epochs - start)
+        chunk, amps = _simulate_chunk(
+            sats, start * spe, n_ep * spe, plan, noise_sigma, rng
+        )
+        out.append(chunk)
+        amps_out = amps
+    truth = SimTruth(
+        sats=list(sats),
+        plan=plan,
+        noise_sigma=noise_sigma,
+        amplitudes=np.asarray(amps_out),
+    )
+    return np.concatenate(out), truth
+
+
+def _simulate_chunk(sats, sample0: int, n: int, plan: SignalPlan,
+                    noise_sigma: float, rng) -> tuple:
+    fs = plan.sample_rate_hz
+    t = (sample0 + np.arange(n, dtype=np.float64)) / fs
+
     total = np.zeros(n, dtype=np.complex128 if plan.complex_input else np.float64)
     amps = []
 
@@ -102,16 +134,23 @@ def simulate_capture(
         code_rate = CODE_RATE_HZ
         if sat.code_doppler:
             code_rate *= 1.0 + sat.doppler_hz / FREQ_L1_HZ
-        chip_total = sat.code_phase_chips + code_rate * t
+        if sat.delay_ms is not None:
+            chip_total = code_rate * (t - sat.delay_ms * 1e-3)
+            epoch_offset = 0
+        else:
+            chip_total = sat.code_phase_chips + code_rate * t
+            epoch_offset = sat.nav_epoch_offset
         chip_idx = np.floor(chip_total).astype(np.int64)
         c = bipolar_code[chip_idx % CODE_LENGTH]
 
         # Nav-bit modulation: bit boundaries land on code-period boundaries
         # of the *transmitted* code (20 periods per bit, nav_data.c:15).
-        period_idx = chip_idx // CODE_LENGTH + sat.nav_epoch_offset
+        period_idx = (
+            np.floor_divide(chip_idx, CODE_LENGTH) + epoch_offset
+        )
         if sat.nav_bits is not None:
             bits = np.asarray(sat.nav_bits, dtype=np.int64)
-            bit_idx = (period_idx // CODES_IN_BIT) % len(bits)
+            bit_idx = np.floor_divide(period_idx, sat.codes_in_bit) % len(bits)
             d = (1 - 2 * bits[bit_idx]).astype(np.float64)
         else:
             d = 1.0
@@ -137,10 +176,4 @@ def simulate_capture(
         if plan.quantize_bits == 1:
             samples = np.where(samples >= 0, 1.0, -1.0).astype(np.float32)
 
-    truth = SimTruth(
-        sats=list(sats),
-        plan=plan,
-        noise_sigma=noise_sigma,
-        amplitudes=np.asarray(amps),
-    )
-    return samples, truth
+    return samples, amps

@@ -27,9 +27,7 @@ import jax.numpy as jnp
 
 from ..config import (
     CODE_LENGTH,
-    CODE_RATE_HZ,
     FREQ_L1_HZ,
-    CODES_IN_BIT,
     SignalPlan,
     TrackConfig,
 )
@@ -97,14 +95,28 @@ def track_epoch_step(
     ie, ip, il = epl[:, 0].real, epl[:, 1].real, epl[:, 2].real
     qe, qp, ql = epl[:, 0].imag, epl[:, 1].imag, epl[:, 2].imag
 
+    # Epochs that may contain a nav-bit edge (known once bit-synced): the
+    # sign flip attenuates/distorts the circular correlation inside the
+    # window (the effect behind the firmware's accurate-sync ratio logic,
+    # nav_data.c:145-218), which biases the discriminators.  Freeze DLL
+    # and FLL there.
+    rem_pred = jnp.mod(
+        state.epoch_idx - state.last_swap_epoch, cfg.codes_in_bit
+    )
+    edge_zone = state.period_sync_ok & (
+        (rem_pred == 0) | (rem_pred == cfg.codes_in_bit - 1)
+    )
+
     # ---- DLL (tracking.c:333-393) ---------------------------------------
     e2 = ie * ie + qe * qe
     l2 = il * il + ql * ql
-    code_err = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
+    code_err_raw = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
+    code_err = jnp.where(edge_zone, state.dll_err_prev, code_err_raw)
     dll_delta_fine = (
         cfg.dll_c1 * (code_err - state.dll_err_prev)
         + cfg.dll_c2 * cfg.dt_s * code_err
     )
+    dll_delta_fine = jnp.where(edge_zone, 0.0, dll_delta_fine)
     # firmware fine units are 1/16 chip (GPS_FINE_RATIO on half-chips)
     dll_delta_chips = dll_delta_fine / jnp.float32(cfg.fine_ratio)
 
@@ -134,7 +146,7 @@ def track_epoch_step(
     freq_diff = _wrap_half(theta - state.fll_theta_prev)
     old_diff = _wrap_half(freq_diff - state.fll_err_prev)
     fll_delta = jnp.where(
-        state.fll_primed,
+        state.fll_primed & ~edge_zone,
         (cfg.fll_c1 * cfg.dt_s * old_diff + cfg.fll_c2 * cfg.dt_s * freq_diff)
         * jnp.float32(cfg.fll_scale),
         0.0,
@@ -191,11 +203,12 @@ def track_epoch_step(
     snr_cnt = jnp.where(snr_done, 0, snr_cnt)
 
     # ---- bit sync (nav_data.c:46-138) -----------------------------------
+    cib = cfg.codes_in_bit
     epoch = state.epoch_idx
     sign_flip = ip_sign != state.prev_ip_sign
     diff = epoch - state.last_swap_epoch
-    rem_at_flip = jnp.mod(diff, CODES_IN_BIT)
-    on_grid = (rem_at_flip <= 1) | (rem_at_flip == CODES_IN_BIT - 1)
+    rem_at_flip = jnp.mod(diff, cib)
+    on_grid = (rem_at_flip <= 1) | (rem_at_flip == cib - 1)
     rpc = jnp.where(
         sign_flip & on_grid,
         jnp.minimum(state.right_period_cnt + 1, 10),
@@ -217,7 +230,7 @@ def track_epoch_step(
     last_swap = jnp.where(sign_flip, epoch, state.last_swap_epoch)
 
     # bit extraction: 20 ms majority vote (nav_data.c:223-253)
-    remainder = jnp.mod(epoch - last_swap, CODES_IN_BIT).astype(jnp.int32)
+    remainder = jnp.mod(epoch - last_swap, cib).astype(jnp.int32)
     bit_boundary = sync_ok & (remainder < state.old_remainder)
     bit_value = (state.bit_pos_cnt > state.bit_neg_cnt).astype(jnp.int8)
     votes = state.bit_pos_cnt + state.bit_neg_cnt
