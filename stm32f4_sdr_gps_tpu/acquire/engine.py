@@ -149,11 +149,17 @@ def acquire(
     plan: SignalPlan = BASEBAND_PLAN,
     cfg: AcqConfig = AcqConfig(),
     num_epochs: int | None = None,
+    doppler_hints_hz: dict | None = None,
 ) -> list:
     """Cold-start acquisition of ``prns`` from a capture.
 
     Uses ``cfg.noncoherent_epochs`` 1 ms epochs (the firmware integrates
     10 epochs per Doppler bin, acquisition.c:18).
+
+    ``doppler_hints_hz`` maps PRN -> expected Doppler; a hinted channel's
+    search is confined to hint +/- one bin — the capability of the
+    firmware's user-supplied hints that skip the frequency search
+    entirely (main.c:59-73, acquisition.c:72-79).
     """
     s = plan.samples_per_epoch
     e = num_epochs or cfg.noncoherent_epochs
@@ -163,8 +169,18 @@ def acquire(
     cfc = code_fft_conj(prns, plan)
     bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
     rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
-    power = acquisition_power(epochs, cfc, rot, coherent=cfg.coherent_epochs)
-    return analyze_power(np.asarray(power), prns, bins, plan, cfg)
+    power = np.asarray(
+        acquisition_power(epochs, cfc, rot, coherent=cfg.coherent_epochs)
+    )
+    if doppler_hints_hz:
+        power = power.copy()
+        for pi, prn in enumerate(prns):
+            hint = doppler_hints_hz.get(int(prn))
+            if hint is None:
+                continue
+            keep = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
+            power[pi, ~keep, :] = 0.0
+    return analyze_power(power, prns, bins, plan, cfg)
 
 
 def acquire_epoch_vote(

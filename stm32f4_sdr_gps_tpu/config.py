@@ -162,6 +162,11 @@ class TrackConfig:
     # Pre-track refinement zone, half-chips (tracking.c:17)
     pre_track_zone_halfchips: int = 30
     pre_track_epochs: int = 20
+    # Correlator backend: fused Pallas kernel (TPU) vs jnp reference.
+    # With use_pallas the code_table passed to track_block must be the
+    # ops.pallas_epl.upsampled_code_doubled table.
+    use_pallas: bool = False
+    pallas_interpret: bool = False    # CPU debugging of the kernel
 
 
 @dataclass(frozen=True)

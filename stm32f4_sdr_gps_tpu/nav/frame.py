@@ -80,6 +80,8 @@ class NavFramer:
     inv_polarity: bool = False
     polarity_found: bool = False
     inv_preamble_cnt: int = 0
+    bit_counter: int = 0
+    inv_hit_bits: List[int] = field(default_factory=list)
     last_word_epoch: int = 0
     words_decoded: int = 0       # word_cnt_test equivalent
     subframe_cnt: int = 0
@@ -90,6 +92,7 @@ class NavFramer:
         """Feed one 20 ms nav bit (pre-polarity) ending the epoch window
         that *started* at ``epoch_ms``.  Returns completed subframes."""
         events: List[SubframeEvent] = []
+        self.bit_counter += 1
         if self.inv_polarity:
             bit ^= 1
 
@@ -110,13 +113,23 @@ class NavFramer:
                     not self.polarity_found
                     and head == tuple(b ^ 1 for b in PREAMBLE_BITS)
                 ):
-                    self.inv_preamble_cnt += 1
-                    if self.inv_preamble_cnt >= 2:
-                        # 180 deg phase ambiguity: flip polarity and the
-                        # buffered window (nav_data.c:281-291)
+                    # 180-degree phase ambiguity detection
+                    # (nav_data.c:281-291).  The firmware counts two
+                    # inverted-preamble sightings; random data bits also
+                    # produce the pattern (~every 256 bits), so we
+                    # additionally require two sightings exactly a
+                    # subframe (300 bits) apart — real TLM preambles
+                    # align, data hits don't.
+                    here = self.bit_counter
+                    aligned = any(
+                        (here - h) % 300 == 0 for h in self.inv_hit_bits
+                    )
+                    self.inv_hit_bits.append(here)
+                    self.inv_hit_bits = self.inv_hit_bits[-8:]
+                    if aligned:
                         self.inv_polarity = not self.inv_polarity
                         self.window = [b ^ 1 for b in self.window]
-                        self.inv_preamble_cnt = 0
+                        self.inv_hit_bits = []
                         self._accept_word(list(self.window),
                                           self.window_epochs[0])
             # Polarity re-detect timeout (nav_data.c:293-306)
@@ -132,14 +145,19 @@ class NavFramer:
             self.window_epochs.append(epoch_ms)
             if len(self.window) >= WORD_LENGTH_BITS:
                 word = self.window[:WORD_LENGTH_BITS]
-                start = self.window_epochs[0]
+                epochs = self.window_epochs[:WORD_LENGTH_BITS]
+                start = epochs[0]
                 self.window = []
                 self.window_epochs = []
                 data = check_parity(word, self.d29, self.d30)
                 if data is None:
-                    # re-sync (nav_data.c:344-347)
+                    # re-sync (nav_data.c:344-347); unlike the firmware,
+                    # re-feed the failed word's bits into the sliding
+                    # preamble hunt so a true TLM inside them is not lost
                     self.word_cnt = 0
                     self.subframe_bits = []
+                    self.window = word[1:]
+                    self.window_epochs = epochs[1:]
                 else:
                     self._store_word(word, data)
                     self.words_decoded += 1

@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: fused carrier wipe-off + E/P/L correlator bank.
+
+The hot per-epoch tracking compute (descendant of the firmware's
+``gps_shift_to_zero_freq_track`` + ``gps_correlation_iq`` x3 bit loops,
+gps_misc.c:128-145, 244-274) fused into ONE kernel per channel:
+
+    carrier NCO (sin/cos rotation) -> 3 replica lags -> 6 reductions
+
+Key structural trick: at exactly 2 samples/chip the sampled replica
+``code[floor(phase + k/2)]`` depends only on the *integer half-chip*
+part of the code phase — for any sub-half-chip fraction mu in [0,1),
+``floor((M + mu + k)/2) == floor((M + k)/2)``.  So the code NCO inside
+the kernel is a dynamic slice at offset M into a doubled 2-sample/chip
+upsampled code (no per-sample gather), with E/P/L at offsets M-1, M,
+M+1.  The fractional phase still advances in the (outside) state update,
+so long-term code tracking stays exact.
+
+The jnp reference path (ops.replica + ops.correlate.epl_correlate) is
+the correctness oracle; tests run this kernel in interpreter mode on
+CPU and natively on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CODE_LENGTH
+
+S = 2 * CODE_LENGTH            # 2046 samples / epoch at 2 chips/sample
+SP = 2048                      # lane-padded epoch length
+U2P = 4352                     # lane-padded doubled upsampled code (+ margin)
+
+
+def upsampled_code_doubled(code_table: np.ndarray) -> np.ndarray:
+    """(C, U2P) float32: code upsampled to 2 samples/chip, tiled twice,
+    zero-padded to the lane-aligned kernel width.
+
+    Row layout: U[j] = code[floor(j/2) mod 1023] for j < 2*S; the last
+    two slice positions (M+1 = 2046 -> reads up to 4095) stay inside the
+    tiled region; padding beyond is zeros (multiplied by zero-padded
+    signal tails anyway).
+    """
+    c = code_table.shape[0]
+    j = np.arange(2 * S + 2)
+    idx = (j // 2) % CODE_LENGTH
+    out = np.zeros((c, U2P), dtype=np.float32)
+    out[:, : 2 * S + 2] = code_table[:, idx]
+    return out
+
+
+def _epl_kernel_real(m_ref, xr_ref, xi_ref, u2_ref, dop_ref, ph_ref,
+                     out_ref):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    k = jax.lax.broadcasted_iota(jnp.float32, (1, SP), 1)
+    ang = ph_ref[0, 0] + dop_ref[0, 0] * k
+    ang = ang - jnp.floor(ang)
+    two_pi = jnp.float32(2.0 * np.pi)
+    c = jnp.cos(two_pi * ang)
+    s = jnp.sin(two_pi * ang)
+    xr = xr_ref[0:1, :]
+    xi = xi_ref[0:1, :]
+    yr = xr * c + xi * s
+    yi = xi * c - xr * s
+
+    m = m_ref[0, 0]
+    for li, lag in enumerate((-1, 0, 1)):
+        start = m + lag
+        rep = u2_ref[0:1, pl.ds(start, SP)]
+        out_ref[0, 2 * li] = jnp.sum(yr * rep)
+        out_ref[0, 2 * li + 1] = jnp.sum(yi * rep)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def epl_correlate_pallas(
+    x: jnp.ndarray,            # (S,) complex64 epoch
+    u2: jnp.ndarray,           # (C, U2P) doubled upsampled codes
+    code_phase_chips: jnp.ndarray,   # (C,) f32
+    doppler_hz: jnp.ndarray,   # (C,) f32
+    carrier_phase_cycles: jnp.ndarray,  # (C,) f32
+    sample_rate_hz: float = 2.046e6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(C, 3) complex64 E/P/L correlations — fused Pallas path.
+
+    Matches ops.correlate.epl_correlate(ops.wipeoff + ops.replica) up to
+    the sub-half-chip replica equivalence described in the module
+    docstring (exact at integer-sample code phases).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c_cnt = u2.shape[0]
+    xr = jnp.zeros((1, SP), jnp.float32).at[0, :S].set(x.real)
+    xi = jnp.zeros((1, SP), jnp.float32).at[0, :S].set(x.imag)
+
+    # integer half-chip shift: replica_k = U[(M + k) mod 2S]; slice start
+    # must be >= 0 for the early lag, so fold into [1, 2S+1)
+    m = jnp.floor(2.0 * code_phase_chips).astype(jnp.int32) % S
+    m = jnp.where(m == 0, S, m)      # keep the early-lag slice start >= 0
+    m2 = m.reshape(c_cnt, 1)
+    dop = (doppler_hz / jnp.float32(sample_rate_hz)).astype(
+        jnp.float32).reshape(c_cnt, 1)
+    ph = carrier_phase_cycles.astype(jnp.float32).reshape(c_cnt, 1)
+
+    out = pl.pallas_call(
+        _epl_kernel_real,
+        grid=(c_cnt,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U2P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c_cnt, 8), jnp.float32),
+        interpret=interpret,
+    )(m2, xr, xi, u2, dop, ph)
+
+    epl = out[:, :6].reshape(c_cnt, 3, 2)
+    return (epl[..., 0] + 1j * epl[..., 1]).astype(jnp.complex64)

@@ -80,18 +80,29 @@ class Receiver:
         self.epoch_cursor = 0        # global sample ledger, epochs (= ms)
         self.solutions: List[Solution] = []
         self.solution_epochs: List[int] = []
+        self.rtcm_frames: List[bytes] = []
         self._last_solve_ms = 0
+        self._last_rtcm_ms = 0
         self._status_cb = None
 
     # -- stages -----------------------------------------------------------
 
-    def acquire_all(self, samples: np.ndarray) -> List[AcqResult]:
+    def acquire_all(self, samples: np.ndarray,
+                    extra_hints: Optional[dict] = None) -> List[AcqResult]:
         """Stage 1: cold acquisition for every configured PRN.
 
-        Doppler hints (main.c:59-73 capability) narrow the grid check —
-        a hinted channel keeps the hint if the FFT peak confirms it."""
+        Doppler hints (main.c:59-73 capability) confine the grid for the
+        hinted channel; ``extra_hints`` (e.g. from a warm reset) override
+        the configured ones."""
         cfg = self.config
-        results = acquire(samples, list(cfg.prns), cfg.plan, cfg.acq)
+        hints = {}
+        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz):
+            if h is not None:
+                hints[int(prn)] = float(h)
+        if extra_hints:
+            hints.update(extra_hints)
+        results = acquire(samples, list(cfg.prns), cfg.plan, cfg.acq,
+                          doppler_hints_hz=hints or None)
         for ch, res in zip(self.channels, results):
             ch.acq = res
             ch.state_name = "ACQ_DONE" if res.detected else "ACQ_FAILED"
@@ -176,6 +187,15 @@ class Receiver:
             self._last_solve_ms = end_ms
             self._try_solve(end_ms - 1, cp[-1])
 
+        # RTCM at its own cadence (gps_master_transmit_obs,
+        # gps_master.c:430-456)
+        if (
+            cfg.enable_rtcm
+            and end_ms - self._last_rtcm_ms >= cfg.rtcm_period_ms
+        ):
+            self._last_rtcm_ms = end_ms
+            self._emit_rtcm(end_ms - 1)
+
     def _filtered_code_phase(self, cp_hist: np.ndarray,
                              doppler_hz: float) -> float:
         """Code-phase smoothing: drift-detrended average of the last K
@@ -222,6 +242,62 @@ class Receiver:
         if sol.ok:
             self.solutions.append(sol)
             self.solution_epochs.append(meas_epoch_ms)
+
+    def _emit_rtcm(self, meas_epoch_ms: int) -> None:
+        """Queue RTCM3 frames: eph 1019 for newly complete ephemerides
+        (mask cleared after send, gps_master.c:441-446) + MSM5 obs."""
+        from ..io.rtcm3 import MsmObs, encode_1019, encode_msm, frame
+
+        for ch in self.channels:
+            if (ch.eph.received_mask & 0x7) == 0x7:
+                ch.eph.received_mask &= ~0x7
+                self.rtcm_frames.append(frame(encode_1019(ch.eph)))
+        ready = [ch for ch in self.channels
+                 if ch.eph.has_full_set and ch.subframe_time_ms > 0]
+        if len(ready) < 1:
+            return
+        chobs = [
+            ChannelObservables(
+                prn=ch.prn, subframe_time_ms=ch.subframe_time_ms,
+                tow_s=ch.subframe_tow_s, week=ch.eph.week,
+                code_phase_chips=ch.code_phase_chips,
+                doppler_hz=ch.doppler_hz, snr_db=ch.snr_db,
+            )
+            for ch in ready
+        ]
+        obs = form_observations(chobs, meas_epoch_ms)
+        if not obs:
+            return
+        msm = [
+            MsmObs(sat=o.sat, pseudorange_m=o.P, doppler_hz=o.D,
+                   cn0_dbhz=max(o.snr + 30.0, 0.0))
+            for o in obs
+        ]
+        from ..pvt.gpstime import time2gpst
+
+        tow_s, _ = time2gpst(obs[0].time)
+        self.rtcm_frames.append(frame(encode_msm(1075, tow_s, msm)))
+
+    def warm_reset(self, samples: np.ndarray) -> None:
+        """Operator warm reset: drop tracking/nav state but keep each
+        channel's learned Doppler as the new acquisition hint
+        (gps_master_reset_to_aqc_start, gps_master.c:490-510; triggered
+        by the UP button via keys_controlling.c in the firmware)."""
+        hints = {
+            ch.prn: ch.doppler_hz
+            for ch in self.channels
+            if ch.framer.words_decoded > 1
+        }
+        for ch in self.channels:
+            ch.framer = NavFramer()
+            ch.subframe_time_ms = 0
+            ch.subframe_tow_s = 0.0
+            ch.subframe_count = 0
+            ch.bit_count = 0
+            ch.state_name = "IDLE"
+        self.track_state = None
+        self.acquire_all(samples, extra_hints=hints)
+        self.start_tracking(samples, start_epoch=self.epoch_cursor)
 
     # -- top level --------------------------------------------------------
 

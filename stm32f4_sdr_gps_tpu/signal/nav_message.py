@@ -95,6 +95,12 @@ class _BitPacker:
         self.u(value & ((1 << width) - 1), width)
 
 
+def _wrap_semicircles(rad: float) -> float:
+    """Wrap an angle in radians to [-pi, pi) semicircle field range."""
+    x = rad / SC2RAD
+    return (x + 1.0) % 2.0 - 1.0
+
+
 def _scaled(value: float, scale: float, width: int, signed: bool) -> int:
     q = int(round(value / scale))
     lim = 1 << (width - 1) if signed else 1 << width
@@ -170,7 +176,7 @@ def encode_subframe2(eph: dict, tow_6s: int) -> list:
     pk.u(eph.get("iode", 0), 8)
     pk.s(_scaled(eph.get("crs", 0.0), P2_5, 16, True), 16)
     pk.s(_scaled(eph.get("deln", 0.0) / SC2RAD, P2_43, 16, True), 16)
-    m0 = _scaled(eph.get("M0", 0.0) / SC2RAD, P2_31, 32, True)
+    m0 = _scaled(_wrap_semicircles(eph.get("M0", 0.0)), P2_31, 32, True)
     pk.s(m0 >> 24, 8)
     pk.u(m0 & 0xFFFFFF, 24)
     pk.s(_scaled(eph.get("cuc", 0.0), P2_29, 16, True), 16)
@@ -195,15 +201,15 @@ def encode_subframe3(eph: dict, tow_6s: int) -> list:
     pk = _BitPacker()
     _header_bits(pk, tow_6s, 3)
     pk.s(_scaled(eph.get("cic", 0.0), P2_29, 16, True), 16)
-    omg0 = _scaled(eph.get("OMG0", 0.0) / SC2RAD, P2_31, 32, True)
+    omg0 = _scaled(_wrap_semicircles(eph.get("OMG0", 0.0)), P2_31, 32, True)
     pk.s(omg0 >> 24, 8)
     pk.u(omg0 & 0xFFFFFF, 24)
     pk.s(_scaled(eph.get("cis", 0.0), P2_29, 16, True), 16)
-    i0 = _scaled(eph.get("i0", 0.0) / SC2RAD, P2_31, 32, True)
+    i0 = _scaled(_wrap_semicircles(eph.get("i0", 0.0)), P2_31, 32, True)
     pk.s(i0 >> 24, 8)
     pk.u(i0 & 0xFFFFFF, 24)
     pk.s(_scaled(eph.get("crc", 0.0), P2_5, 16, True), 16)
-    omg = _scaled(eph.get("omg", 0.0) / SC2RAD, P2_31, 32, True)
+    omg = _scaled(_wrap_semicircles(eph.get("omg", 0.0)), P2_31, 32, True)
     pk.s(omg >> 24, 8)
     pk.u(omg & 0xFFFFFF, 24)
     pk.s(_scaled(eph.get("OMGd", 0.0) / SC2RAD, P2_43, 24, True), 24)
@@ -215,11 +221,20 @@ def encode_subframe3(eph: dict, tow_6s: int) -> list:
 
 
 def encode_subframe_filler(subframe_id: int, tow_6s: int) -> list:
-    """Subframes 4/5 carry only TOW for our purposes
-    (decode_subfrm4/5, nav_data_decode.c:128-141)."""
+    """Subframes 4/5: the decoder only reads their TOW
+    (decode_subfrm4/5, nav_data_decode.c:128-141), but the payload must
+    be *non-degenerate* — real almanac pages are pseudo-random, and an
+    all-zeros payload produces periodic words that false-match the
+    preamble and can even satisfy chained parity at wrong alignments."""
     pk = _BitPacker()
     _header_bits(pk, tow_6s, subframe_id)
-    pk.u(0, 192)
+    state = (subframe_id * 2654435761 + tow_6s * 40503) & 0xFFFFFFFF
+    for _ in range(192):
+        # xorshift32 — deterministic filler bits
+        state ^= (state << 13) & 0xFFFFFFFF
+        state ^= state >> 17
+        state ^= (state << 5) & 0xFFFFFFFF
+        pk.bits.append(state & 1)
     assert len(pk.bits) == 240
     return pk.bits
 

@@ -80,18 +80,35 @@ def track_epoch_step(
         jnp.float32(plan.chips_per_sample)
         * (1.0 + state.doppler_hz / jnp.float32(FREQ_L1_HZ))
     )
-    lags = (-cfg.epl_spacing_chips, 0.0, cfg.epl_spacing_chips)
-    replicas = sample_replicas(
-        code_table, state.code_phase_chips, code_freq_cps, s_cnt, lags
-    )
 
-    # ---- carrier NCO wipe-off -------------------------------------------
-    y, carrier_phase = carrier_wipeoff(
-        x_epoch, state.doppler_hz, state.carrier_phase_cycles, fs
-    )
+    if cfg.use_pallas:
+        # fused wipe-off + E/P/L kernel (code_table = doubled upsampled
+        # code from ops.pallas_epl.upsampled_code_doubled)
+        from ..ops.pallas_epl import epl_correlate_pallas
 
-    # ---- E/P/L correlators ----------------------------------------------
-    epl = epl_correlate(y, replicas)          # (C, 3) complex
+        epl = epl_correlate_pallas(
+            x_epoch, code_table,
+            state.code_phase_chips, state.doppler_hz,
+            state.carrier_phase_cycles, fs,
+            interpret=cfg.pallas_interpret,
+        )
+        carrier_phase = (
+            state.carrier_phase_cycles + state.doppler_hz * (s_cnt / fs)
+        )
+        carrier_phase = carrier_phase - jnp.floor(carrier_phase)
+    else:
+        lags = (-cfg.epl_spacing_chips, 0.0, cfg.epl_spacing_chips)
+        replicas = sample_replicas(
+            code_table, state.code_phase_chips, code_freq_cps, s_cnt, lags
+        )
+
+        # ---- carrier NCO wipe-off ---------------------------------------
+        y, carrier_phase = carrier_wipeoff(
+            x_epoch, state.doppler_hz, state.carrier_phase_cycles, fs
+        )
+
+        # ---- E/P/L correlators ------------------------------------------
+        epl = epl_correlate(y, replicas)          # (C, 3) complex
     ie, ip, il = epl[:, 0].real, epl[:, 1].real, epl[:, 2].real
     qe, qp, ql = epl[:, 0].imag, epl[:, 1].imag, epl[:, 2].imag
 
