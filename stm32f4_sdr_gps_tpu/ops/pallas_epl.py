@@ -54,11 +54,16 @@ def upsampled_code_doubled(code_table: np.ndarray) -> np.ndarray:
 
 def _epl_kernel_real(m_ref, xr_ref, xi_ref, u2_ref, dop_ref, ph_ref,
                      out_ref):
+    """One grid program per channel; all refs carry the full arrays
+    (TPU block shapes must tile to (8,128) or equal the array dims), the
+    channel row is selected with program_id."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, SP), 1)
-    ang = ph_ref[0, 0] + dop_ref[0, 0] * k
+    i = pl.program_id(0)
+    # iota must be integer-typed on TPU; cast after
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(jnp.float32)
+    ang = ph_ref[i, 0] + dop_ref[i, 0] * k
     ang = ang - jnp.floor(ang)
     two_pi = jnp.float32(2.0 * np.pi)
     c = jnp.cos(two_pi * ang)
@@ -68,12 +73,23 @@ def _epl_kernel_real(m_ref, xr_ref, xi_ref, u2_ref, dop_ref, ph_ref,
     yr = xr * c + xi * s
     yi = xi * c - xr * s
 
-    m = m_ref[0, 0]
-    for li, lag in enumerate((-1, 0, 1)):
-        start = m + lag
-        rep = u2_ref[0:1, pl.ds(start, SP)]
-        out_ref[0, 2 * li] = jnp.sum(yr * rep)
-        out_ref[0, 2 * li + 1] = jnp.sum(yi * rep)
+    # Unaligned dynamic lane slices are not lowerable on TPU; rotate the
+    # whole doubled-code row left by (m-1) with tpu dynamic_rotate, then
+    # the three lags are static windows [0:SP], [1:SP+1], [2:SP+2] — but
+    # static unaligned starts are also disallowed, so rotate once per lag.
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = m_ref[i, 0]
+    row = u2_ref[i, :].reshape(1, U2P)
+    sums = []
+    for lag in (-1, 0, 1):
+        rep = pltpu.roll(row, -(m + lag), 1)[:, :SP]
+        sums.append(jnp.sum(yr * rep, keepdims=True).reshape(1, 1))
+        sums.append(jnp.sum(yi * rep, keepdims=True).reshape(1, 1))
+    sums.append(jnp.zeros((1, 2), jnp.float32))
+    # scalar stores to VMEM are illegal on TPU; write the row as one
+    # (1, 8) vector store
+    out_ref[pl.ds(i, 1), :] = jnp.concatenate(sums, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -108,24 +124,26 @@ def epl_correlate_pallas(
         jnp.float32).reshape(c_cnt, 1)
     ph = carrier_phase_cycles.astype(jnp.float32).reshape(c_cnt, 1)
 
+    # Full-array blocks (grid programs pick their row via program_id):
+    # TPU requires block shapes tiled to (8,128) or equal to the array.
     out = pl.pallas_call(
         _epl_kernel_real,
         grid=(c_cnt,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((c_cnt, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, SP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U2P), lambda i: (i, 0),
+            pl.BlockSpec((c_cnt, U2P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((c_cnt, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((c_cnt, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((c_cnt, 8), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c_cnt, 8), jnp.float32),
         interpret=interpret,

@@ -1,0 +1,104 @@
+"""Multi-device streaming receiver front end.
+
+BASELINE.json config 5 capability: long IQ captures with time-blocks
+sharded across the mesh's ``time`` axis and PRN channels across ``chan``.
+
+* Acquisition is embarrassingly parallel over time-blocks: each shard
+  integrates its local epochs non-coherently and the partial power cubes
+  merge with ``psum`` (mesh.sharded_acquisition_power).
+* Tracking is sequential in time by nature (1 ms loop closure,
+  SURVEY.md §7 hard part (a)); its parallel axis is channels.  The
+  streaming driver therefore pipelines: sharded acquisition over the
+  whole capture first, then the channel-sharded tracking scan consumes
+  time-blocks in order.
+* Block boundaries: epochs are self-contained 1 ms circular-correlation
+  windows, so acquisition needs no halo; the halo exchange
+  (mesh.halo_extend_blocks) exists for sample-granular block splits
+  (e.g. re-centering epoch windows mid-stream after a code wrap).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..acquire.engine import AcqResult, analyze_power
+from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN
+from ..ops.correlate import code_fft_conj
+from ..ops.wipeoff import doppler_rotations
+from ..track.scan import track_block
+from ..track.state import TrackState
+from .mesh import (
+    replicated,
+    shard_code_table,
+    shard_track_state,
+    sharded_acquisition_power,
+)
+
+
+def acquire_sharded(
+    samples: np.ndarray,
+    prns,
+    mesh: Mesh,
+    plan: SignalPlan = BASEBAND_PLAN,
+    cfg: AcqConfig = AcqConfig(),
+    num_epochs: Optional[int] = None,
+) -> List[AcqResult]:
+    """Mesh-sharded cold acquisition over a capture.
+
+    PRNs shard over ``chan`` (pad to a multiple), epochs over ``time``.
+    """
+    s = plan.samples_per_epoch
+    e = num_epochs or cfg.noncoherent_epochs
+    nt = mesh.shape["time"]
+    nc = mesh.shape["chan"]
+    e = (max(e, nt) // nt) * nt
+    if len(samples) < e * s:
+        raise ValueError(f"need {e} epochs of samples")
+    epochs = jnp.asarray(samples[: e * s].reshape(e, s), jnp.complex64)
+
+    prns = list(prns)
+    pad = (-len(prns)) % nc
+    padded = prns + prns[:pad]          # repeat head PRNs as padding
+    cfc = code_fft_conj(padded, plan)
+    bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
+    rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
+    with jax.sharding.set_mesh(mesh):
+        power = sharded_acquisition_power(epochs, cfc, rot, mesh)
+        power.block_until_ready()
+    power = np.asarray(power)[: len(prns)]
+    return analyze_power(power, prns, bins, plan, cfg)
+
+
+class StreamingTracker:
+    """Channel-sharded tracking over sequential time-blocks.
+
+    The host feeds blocks in order (from a file, the native ring buffer,
+    or a network stream); the device state stays resident and sharded
+    across the mesh between calls — the TPU-native analogue of the
+    firmware's resident per-channel state advanced by the 1 ms ISR.
+    """
+
+    def __init__(self, state: TrackState, code_table, mesh: Mesh,
+                 plan: SignalPlan, cfg):
+        self.mesh = mesh
+        self.plan = plan
+        self.cfg = cfg
+        self.state = shard_track_state(state, mesh)
+        self.code_table = shard_code_table(jnp.asarray(code_table), mesh)
+
+    def process(self, samples: np.ndarray):
+        """Advance all channels through one block of whole epochs."""
+        s = self.plan.samples_per_epoch
+        n = len(samples) // s
+        epochs = jnp.asarray(samples[: n * s].reshape(n, s), jnp.complex64)
+        with jax.sharding.set_mesh(self.mesh):
+            epochs = replicated(epochs, self.mesh)
+            self.state, outs = track_block(
+                self.state, epochs, self.code_table, self.plan, self.cfg
+            )
+        return outs

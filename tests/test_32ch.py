@@ -1,0 +1,81 @@
+"""BASELINE configs 2 & 5: 32-PRN cold start and streaming mesh receiver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN, TrackConfig
+from stm32f4_sdr_gps_tpu.parallel.mesh import make_mesh
+from stm32f4_sdr_gps_tpu.parallel.streaming import (
+    StreamingTracker,
+    acquire_sharded,
+)
+from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar
+from stm32f4_sdr_gps_tpu.signal.simulator import SimSat, simulate_capture
+from stm32f4_sdr_gps_tpu.track.state import init_state
+
+PLAN = BASEBAND_PLAN
+
+PRESENT = {
+    2: (-3800.0, 130.0), 5: (-2100.0, 700.2), 9: (-600.0, 303.3),
+    13: (450.0, 911.7), 17: (1800.0, 401.1), 21: (3300.0, 55.5),
+    26: (5200.0, 840.0), 30: (6600.0, 222.2),
+}
+
+
+@pytest.fixture(scope="module")
+def capture():
+    sats = [
+        SimSat(prn=p, doppler_hz=d, code_phase_chips=c, cn0_dbhz=44.0)
+        for p, (d, c) in PRESENT.items()
+    ]
+    x, truth = simulate_capture(sats, num_epochs=60, seed=9)
+    return x, truth, sats
+
+
+def test_cold_start_all_32_prns_sharded(capture):
+    """All 32 PRNs x full +/-7 kHz grid, PRNs sharded over the mesh:
+    exactly the 8 present satellites detected, none of the other 24."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x, truth, sats = capture
+    mesh = make_mesh(time=2, chan=4)
+    results = acquire_sharded(x, range(1, 33), mesh, PLAN, AcqConfig())
+    assert len(results) == 32
+    by = {r.prn: r for r in results}
+    for prn, (dop, cp) in PRESENT.items():
+        r = by[prn]
+        assert r.detected, prn
+        assert abs(r.doppler_hz - dop) < 250.0, prn
+        err = (r.code_phase_chips - cp + 511.5) % 1023 - 511.5
+        assert abs(err) < 0.7, (prn, err)  # half-chip grid + interp
+    false_alarms = [r.prn for r in results
+                    if r.detected and r.prn not in PRESENT]
+    assert not false_alarms, false_alarms
+
+
+def test_streaming_tracker_32_channels(capture):
+    """32 channels (8 real + 24 ghost PRNs) sharded over the mesh,
+    fed block-by-block; real channels stay locked, state persists
+    across blocks."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x, truth, sats = capture
+    mesh = make_mesh(time=2, chan=4)
+    prns = list(range(1, 33))
+    table = ca_table_bipolar(prns)
+    cp0 = np.array([PRESENT.get(p, (0.0, 500.0))[1] for p in prns])
+    dop0 = np.array([PRESENT.get(p, (0.0, 0.0))[0] for p in prns])
+    state = init_state(32, cp0 + 0.1, dop0 + 20.0)
+    tracker = StreamingTracker(state, table, mesh, PLAN, TrackConfig())
+
+    spe = PLAN.samples_per_epoch
+    outs_list = [tracker.process(x[i * 20 * spe: (i + 1) * 20 * spe])
+                 for i in range(3)]
+    dop = np.concatenate([np.asarray(o.doppler_hz) for o in outs_list])
+    assert dop.shape == (60, 32)
+    for ci, p in enumerate(prns):
+        if p in PRESENT:
+            want = PRESENT[p][0]
+            assert abs(np.mean(dop[-10:, ci]) - want) < 30.0, p
