@@ -1,0 +1,103 @@
+"""Runtime capabilities: checkpoint/resume, warm reset, RTCM emission."""
+
+import numpy as np
+import pytest
+
+from stm32f4_sdr_gps_tpu.config import ReceiverConfig, TrackConfig
+from stm32f4_sdr_gps_tpu.io.rtcm3 import decode_1019, decode_msm, deframe
+from stm32f4_sdr_gps_tpu.runtime.checkpoint import load_receiver, save_receiver
+from stm32f4_sdr_gps_tpu.runtime.receiver import Receiver
+from stm32f4_sdr_gps_tpu.signal.simulator import SimSat, simulate_capture
+
+from tests.test_receiver import CIB, DELAYS_MS, DOPPLERS, PRNS, _make_capture
+
+
+@pytest.fixture(scope="module")
+def short_capture():
+    return _make_capture(1200, seed=13)
+
+
+def _cfg(**kw):
+    base = dict(
+        prns=PRNS,
+        track=TrackConfig(codes_in_bit=CIB, pll_bad_state_threshold=10**9),
+        enable_position=False,
+        track_block_epochs=200,
+    )
+    base.update(kw)
+    return ReceiverConfig(**base)
+
+
+def test_checkpoint_resume_bit_exact(tmp_path, short_capture):
+    """Stop mid-capture, checkpoint, resume in a new receiver: outputs
+    must equal an uninterrupted run (SURVEY.md §5 checkpoint/resume)."""
+    x, _ = short_capture
+    spe = 2046
+
+    rx_full = Receiver(_cfg())
+    rx_full.run(x)
+
+    rx_a = Receiver(_cfg())
+    cut = 600
+    rx_a.acquire_all(x)
+    acq_e = rx_a.config.acq.noncoherent_epochs
+    rx_a.start_tracking(x[acq_e * spe:], start_epoch=acq_e)
+    rx_a.epoch_cursor = acq_e
+    pos = acq_e * spe
+    while rx_a.epoch_cursor < cut:
+        rx_a.process_block(x[pos: pos + 200 * spe])
+        pos += 200 * spe
+    path = str(tmp_path / "ckpt.npz")
+    save_receiver(path, rx_a)
+
+    rx_b = load_receiver(path)
+    assert rx_b.epoch_cursor == rx_a.epoch_cursor
+    while pos + spe <= len(x):
+        chunk = x[pos: pos + 200 * spe]
+        if len(chunk) < spe:
+            break
+        rx_b.process_block(chunk)
+        pos += (len(chunk) // spe) * spe
+
+    for ch_f, ch_b in zip(rx_full.channels, rx_b.channels):
+        assert ch_f.prn == ch_b.prn
+        assert abs(ch_f.code_phase_chips - ch_b.code_phase_chips) < 1e-3
+        assert abs(ch_f.doppler_hz - ch_b.doppler_hz) < 1e-2
+        assert ch_f.bit_count == ch_b.bit_count
+
+
+def test_warm_reset_preserves_doppler(short_capture):
+    """Warm reset re-acquires code phase with the learned Doppler as
+    hint and keeps tracking (gps_master.c:490-510 capability)."""
+    x, truth = short_capture
+    rx = Receiver(_cfg())
+    rx.run(x)
+    doppler_before = {ch.prn: ch.doppler_hz for ch in rx.channels}
+    # enough words decoded for the hint path on at least some channels
+    assert any(ch.framer.words_decoded > 1 for ch in rx.channels)
+
+    rx.warm_reset(x[-400 * 2046:])
+    assert all(ch.state_name == "TRACKING" for ch in rx.channels)
+    for ch in rx.channels:
+        assert abs(ch.acq.doppler_hz - doppler_before[ch.prn]) < 300.0
+
+
+def test_receiver_emits_rtcm(short_capture):
+    x, _ = _make_capture(4400, seed=13)
+    rx = Receiver(_cfg(enable_rtcm=True))
+    rx.run(x)
+    assert rx.rtcm_frames, "no RTCM frames emitted"
+    kinds = []
+    for f in rx.rtcm_frames:
+        payload = deframe(f)
+        assert payload is not None, "bad frame CRC"
+        msg = (payload[0] << 4) | (payload[1] >> 4)
+        kinds.append(msg)
+        if msg == 1019:
+            d = decode_1019(payload)
+            assert d["sat"] in PRNS
+        elif msg == 1075:
+            d = decode_msm(payload)
+            assert {o["sat"] for o in d["obs"]} <= set(PRNS)
+    assert 1019 in kinds
+    assert 1075 in kinds
