@@ -17,7 +17,6 @@ mesh used in tests.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -25,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import SignalPlan
 from ..ops.correlate import fft_circular_correlate, noncoherent_power
 from ..track.state import TrackState
 

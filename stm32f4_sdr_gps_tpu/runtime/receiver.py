@@ -22,7 +22,7 @@ The whole receiver state is checkpointable (runtime.checkpoint).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
