@@ -53,6 +53,10 @@ class SimSat:
     # t = delay_ms + k*codes_in_bit ms — a physically consistent TOF for
     # pseudorange tests.  Bits "before" t=0 wrap to the stream end.
     delay_ms: Optional[float] = None
+    # Satellite dynamics: Doppler ramp (Hz/s).  The carrier phase uses
+    # the chirp integral and the code rate follows coherently, like a
+    # real accelerating line-of-sight (GPS satellites: up to ~0.9 Hz/s).
+    doppler_rate_hz_s: float = 0.0
 
 
 @dataclass
@@ -67,15 +71,14 @@ class SimTruth:
     def code_phase_at_epoch(self, sat_idx: int, epoch: int) -> float:
         """True code phase (chips, mod 1023) at the start of ``epoch``."""
         sat = self.sats[sat_idx]
-        rate = CODE_RATE_HZ * (
-            1.0 + (sat.doppler_hz / FREQ_L1_HZ if sat.code_doppler else 0.0)
-        )
         t = epoch * self.plan.samples_per_epoch / self.plan.sample_rate_hz
+        dop_int = sat.doppler_hz * t + 0.5 * sat.doppler_rate_hz_s * t**2
+        code_time = t + (dop_int / FREQ_L1_HZ if sat.code_doppler else 0.0)
         if sat.delay_ms is not None:
-            base = -rate * sat.delay_ms * 1e-3
+            chips = CODE_RATE_HZ * (code_time - sat.delay_ms * 1e-3)
         else:
-            base = sat.code_phase_chips
-        return float((base + rate * t) % CODE_LENGTH)
+            chips = sat.code_phase_chips + CODE_RATE_HZ * code_time
+        return float(chips % CODE_LENGTH)
 
 
 def _amplitude_for_cn0(cn0_dbhz: float, fs: float, noise_sigma: float) -> float:
@@ -131,14 +134,19 @@ def _simulate_chunk(sats, sample0: int, n: int, plan: SignalPlan,
         code = ca_code_bits(sat.prn)
         bipolar_code = (1 - 2 * code.astype(np.int8)).astype(np.float64)
 
-        code_rate = CODE_RATE_HZ
+        # Doppler chirp integral: f(t) = fd + rate*t  =>
+        # carrier phase term fd*t + rate*t^2/2; the code rate follows
+        # coherently via the same integral scaled by 1/fL1.
+        dop_int = sat.doppler_hz * t + 0.5 * sat.doppler_rate_hz_s * t**2
         if sat.code_doppler:
-            code_rate *= 1.0 + sat.doppler_hz / FREQ_L1_HZ
+            code_time = t + dop_int / FREQ_L1_HZ
+        else:
+            code_time = t
         if sat.delay_ms is not None:
-            chip_total = code_rate * (t - sat.delay_ms * 1e-3)
+            chip_total = CODE_RATE_HZ * (code_time - sat.delay_ms * 1e-3)
             epoch_offset = 0
         else:
-            chip_total = sat.code_phase_chips + code_rate * t
+            chip_total = sat.code_phase_chips + CODE_RATE_HZ * code_time
             epoch_offset = sat.nav_epoch_offset
         chip_idx = np.floor(chip_total).astype(np.int64)
         c = bipolar_code[chip_idx % CODE_LENGTH]
@@ -157,7 +165,7 @@ def _simulate_chunk(sats, sample0: int, n: int, plan: SignalPlan,
 
         amp = _amplitude_for_cn0(sat.cn0_dbhz, fs, noise_sigma)
         amps.append(amp)
-        phase = sat.carrier_phase_cycles + (plan.if_freq_hz + sat.doppler_hz) * t
+        phase = (sat.carrier_phase_cycles + plan.if_freq_hz * t + dop_int)
         if plan.complex_input:
             total += amp * d * c * np.exp(2j * np.pi * phase)
         else:

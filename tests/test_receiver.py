@@ -32,7 +32,7 @@ DOPPLERS = (-2500.0, 800.0, 3100.0, -400.0)
 
 
 def _make_capture(num_epochs, seed=11):
-    prefix = np.tile([0, 1], 45).astype(np.int8)  # fast bit-sync run-in
+    prefix = np.tile([0, 1], 60).astype(np.int8)  # fast bit-sync run-in
     sats = []
     for prn, delay, dop in zip(PRNS, DELAYS_MS, DOPPLERS):
         eph = dict(TEST_EPH)
@@ -56,8 +56,8 @@ def _make_capture(num_epochs, seed=11):
 
 @pytest.fixture(scope="module")
 def report_and_receiver():
-    # prefix 90 bits + 4 subframes * 300 bits = 1290 bits * 3 ms + margin
-    num_epochs = 90 * CIB + 4 * 300 * CIB + 400
+    # prefix 120 bits + 4 subframes * 300 bits * 3 ms + margin
+    num_epochs = 120 * CIB + 4 * 300 * CIB + 400
     x, truth = _make_capture(num_epochs)
     cfg = ReceiverConfig(
         prns=PRNS,
