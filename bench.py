@@ -10,24 +10,32 @@ Prints ONE JSON line:
               168 MHz STM32F407 (README.md:21, tracking.c:49).  The
               BASELINE.md target is >=100x at 32 channels.
 
-Secondary numbers (block-length sweep, acquisition cube time) go to
-stderr.  If the TPU device is unreachable (the axon tunnel can wedge
-after a killed client), the benchmark re-runs itself on CPU and reports
-that honestly on stderr — the JSON schema stays the same.
+Measurement integrity: some remote-TPU transports report arrays "ready"
+before execution finishes, which silently voids wall-clock timing.  The
+benchmark first runs a FLOP-floor canary (chained large matmuls whose
+minimum time is known from hardware peak); if the apparent FLOP/s is
+impossible, wall clock is rejected and the benchmark times the device
+with jax.profiler trace events (device-reported durations); if tracing
+is unavailable too, it falls back to an honest CPU run and says so.
 """
 
 from __future__ import annotations
 
+import glob
+import gzip
 import json
 import multiprocessing
 import os
-import subprocess
+import shutil
 import sys
 import time
 
 import numpy as np
 
 PROBE_TIMEOUT_S = 120
+# Anything beyond this is physically impossible for one chip of any
+# current TPU generation in f32 — used to detect fake synchronization.
+MAX_PLAUSIBLE_TFLOPS = 500.0
 
 
 def _probe_device(q):
@@ -58,7 +66,80 @@ def device_available() -> bool:
     return not msg.startswith("ERROR")
 
 
-def run_bench():
+def wall_clock_is_honest() -> bool:
+    """FLOP-floor canary: chain of 8192^3 f32 matmuls (1.1 TFLOP each)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 20
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8192, 8192))
+        .astype(np.float32)
+    ) * 1e-3
+
+    @jax.jit
+    def step(a):
+        return a @ a * 1e-4
+
+    a = step(x)
+    jax.block_until_ready(a)
+    t0 = time.perf_counter()
+    a = x
+    for _ in range(n):
+        a = step(a)
+    jax.block_until_ready(a)
+    wall = time.perf_counter() - t0
+    tflops = n * 2 * 8192**3 / wall / 1e12
+    honest = tflops <= MAX_PLAUSIBLE_TFLOPS
+    print(
+        f"sync canary: {n} matmuls in {wall * 1e3:.1f} ms => "
+        f"{tflops:.1f} apparent TFLOP/s => wall clock "
+        f"{'HONEST' if honest else 'NOT trustworthy (async transport)'}",
+        file=sys.stderr,
+    )
+    return honest
+
+
+def _device_trace_seconds(run_fn, name_hint: str = "jit_"):
+    """Run ``run_fn`` under a jax.profiler trace; return summed device
+    event seconds for top-level jitted functions, or None."""
+    import jax
+
+    trace_dir = "/tmp/bench_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    try:
+        jax.profiler.start_trace(trace_dir)
+        run_fn()
+        time.sleep(2.0)   # let remote execution drain before stop
+        jax.profiler.stop_trace()
+    except Exception as e:  # noqa: BLE001
+        print(f"profiler trace failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+    files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz",
+                             recursive=True))
+    if not files:
+        print("no trace file produced", file=sys.stderr)
+        return None
+    data = json.loads(gzip.open(files[-1]).read())
+    ev = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev = [
+        e for e in ev
+        if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), ""))
+        and str(e.get("name", "")).startswith(name_hint)
+    ]
+    if not dev:
+        print("no device events in trace", file=sys.stderr)
+        return None
+    return sum(e["dur"] for e in dev) / 1e6
+
+
+def run_bench() -> bool:
     import jax
     import jax.numpy as jnp
 
@@ -82,103 +163,90 @@ def run_bench():
     table = jnp.asarray(ca_table_bipolar(prns))
     rng = np.random.default_rng(0)
 
-    def timed_chain(block_epochs, n_blocks, track_cfg, code_table):
-        """Sustained throughput over a long *dependent* chain of tracking
-        blocks (state feeds forward).  Single-call timings on the axon
-        tunnel are distorted by async dispatch; a chain is bounded by
-        true device execution via queue backpressure."""
-        epochs = jnp.asarray(
-            (rng.standard_normal((block_epochs, plan.samples_per_epoch))
-             + 1j * rng.standard_normal((block_epochs,
-                                         plan.samples_per_epoch))
-             ).astype(np.complex64)
-        )
-        state = init_state(
-            n_chan,
-            rng.uniform(0, 1023, n_chan),
-            rng.uniform(-5000, 5000, n_chan),
-        )
-        # NOTE: no buffer donation — donation hangs on the axon tunnel
-        fn = jax.jit(lambda st, ep, tb: track_block(
-            st, ep, tb, plan, track_cfg))
-        st, outs = fn(state, epochs, code_table)
-        jax.block_until_ready((st, outs))
+    honest_wall = platform == "cpu" or wall_clock_is_honest()
+
+    block_epochs = 2000
+    epochs = jnp.asarray(
+        (rng.standard_normal((block_epochs, plan.samples_per_epoch))
+         + 1j * rng.standard_normal((block_epochs, plan.samples_per_epoch))
+         ).astype(np.complex64)
+    )
+    state0 = init_state(
+        n_chan,
+        rng.uniform(0, 1023, n_chan),
+        rng.uniform(-5000, 5000, n_chan),
+    )
+    # NOTE: no buffer donation — donation hangs on some remote transports
+    fn = jax.jit(lambda st, ep, tb: track_block(st, ep, tb, plan, cfg))
+    st, outs = fn(state0, epochs, table)
+    jax.block_until_ready((st, outs))
+
+    method = None
+    rt_multiple = None
+    n_blocks = 0
+    if honest_wall:
+        n_blocks = 8 if platform == "cpu" else 64
         t0 = time.perf_counter()
-        st = state
+        st = state0
         for _ in range(n_blocks):
-            st, outs = fn(st, epochs, code_table)
+            st, outs = fn(st, epochs, table)
         jax.block_until_ready((st, outs))
-        return time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        rt_multiple = n_blocks * block_epochs * 1e-3 / wall
+        method = "wall-clock chain"
+    else:
+        n_blocks = 4
 
-    # chain-length sweep shows dispatch-latency amortization
-    for n_blocks in (1, 16, 64):
-        wall = timed_chain(500, n_blocks, cfg, table)
-        ep = 500 * n_blocks
-        print(
-            f"tracking chain: {n_blocks} x 500 epochs x {n_chan} ch in "
-            f"{wall * 1e3:.2f} ms => {ep * 1e-3 / wall:.0f}x realtime",
-            file=sys.stderr,
-        )
+        def chain():
+            s = state0
+            for _ in range(n_blocks):
+                s, o = fn(s, epochs, table)
+            jax.block_until_ready((s, o))
 
-    n_blocks, block_epochs = 128, 500
-    wall = timed_chain(block_epochs, n_blocks, cfg, table)
-    total_epochs = n_blocks * block_epochs
-    rt_multiple = (total_epochs * 1e-3) / wall
+        dev_s = _device_trace_seconds(chain)
+        if dev_s is not None and dev_s > 0:
+            rt_multiple = n_blocks * block_epochs * 1e-3 / dev_s
+            method = "profiler device trace"
+
+    if rt_multiple is None:
+        print("no trustworthy device timing available", file=sys.stderr)
+        return False
+
     samples_per_s = plan.sample_rate_hz * rt_multiple
     print(
-        f"tracking: {total_epochs} epochs x {n_chan} ch in "
-        f"{wall * 1e3:.2f} ms => {rt_multiple:.1f}x real-time",
+        f"tracking ({method}): {n_blocks}x{block_epochs} epochs x "
+        f"{n_chan} ch => {rt_multiple:.1f}x real-time",
         file=sys.stderr,
     )
 
-    # Pallas fused-correlator backend comparison
-    try:
-        from stm32f4_sdr_gps_tpu.ops.pallas_epl import upsampled_code_doubled
-        from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar as _ct
-
-        u2 = jnp.asarray(upsampled_code_doubled(_ct(prns)))
-        cfg_pl = TrackConfig(use_pallas=True)
-        wall_pl = timed_chain(block_epochs, 64, cfg_pl, u2)
-        rt_pl = (64 * block_epochs * 1e-3) / wall_pl
-        print(
-            f"tracking (pallas EPL): {64 * block_epochs} epochs in "
-            f"{wall_pl * 1e3:.2f} ms => {rt_pl:.1f}x real-time",
-            file=sys.stderr,
-        )
-        if rt_pl > rt_multiple:
-            rt_multiple = rt_pl
-            samples_per_s = plan.sample_rate_hz * rt_pl
-            print("using pallas backend result", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"pallas backend failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # acquisition secondary benchmark: 32 PRN x full grid x 10 epochs
+    # acquisition secondary benchmark (same timing discipline)
     acq = AcqConfig()
     cfc = code_fft_conj(prns, plan)
     bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
     rot = doppler_rotations(jnp.asarray(bins_host), plan.samples_per_epoch,
                             plan.sample_rate_hz)
-    acq_epochs = jnp.asarray(
-        (rng.standard_normal((acq.noncoherent_epochs,
-                              plan.samples_per_epoch))
-         + 1j * rng.standard_normal((acq.noncoherent_epochs,
-                                     plan.samples_per_epoch))
-         ).astype(np.complex64)
-    )
+    acq_epochs = epochs[: acq.noncoherent_epochs]
     power = acquisition_power(acq_epochs, cfc, rot)
     power.block_until_ready()
-    t0 = time.perf_counter()
-    power = acquisition_power(acq_epochs, cfc, rot)
-    power.block_until_ready()
-    acq_wall = time.perf_counter() - t0
-    print(
-        f"acquisition: 32 PRN x {len(bins_host)} bins x "
-        f"{acq.noncoherent_epochs} epochs in {acq_wall * 1e3:.1f} ms "
-        f"({acq_wall / 32 * 1e3:.2f} ms/PRN; firmware: ~0.2 s/bin "
-        f"serial => ~58 s/PRN)",
-        file=sys.stderr,
-    )
+    if honest_wall:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            power = acquisition_power(acq_epochs, cfc, rot)
+        power.block_until_ready()
+        acq_s = (time.perf_counter() - t0) / 5
+    else:
+        acq_s = _device_trace_seconds(
+            lambda: jax.block_until_ready(
+                acquisition_power(acq_epochs, cfc, rot))
+        )
+    if acq_s:
+        print(
+            f"acquisition: 32 PRN x {len(bins_host)} bins x "
+            f"{acq.noncoherent_epochs} epochs in {acq_s * 1e3:.1f} ms "
+            f"({acq_s / 32 * 1e3:.2f} ms/PRN; firmware: ~0.2 s/bin serial "
+            f"=> ~58 s/PRN)",
+            file=sys.stderr,
+        )
 
     print(json.dumps({
         "metric": "iq_samples_per_s_per_chip_32ch_tracking",
@@ -186,25 +254,58 @@ def run_bench():
         "unit": "samples/s/chip",
         "vs_baseline": round(rt_multiple, 2),
     }))
+    return True
+
+
+def _cpu_fallback():
+    print(
+        "falling back to CPU (fallback numbers are NOT a TPU result)",
+        file=sys.stderr,
+    )
+    env = dict(os.environ)
+    env["BENCH_FORCE_CPU"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""   # skip plugin registration
+    os.execve(sys.executable, [sys.executable, __file__], env)
+
+
+TPU_ATTEMPT_TIMEOUT_S = 420
 
 
 def main():
-    if os.environ.get("BENCH_FORCE_CPU") != "1" and not device_available():
-        print(
-            "TPU unreachable — re-running benchmark on CPU (fallback; "
-            "numbers are NOT the TPU result)",
-            file=sys.stderr,
-        )
-        env = dict(os.environ)
-        env["BENCH_FORCE_CPU"] = "1"
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PALLAS_AXON_POOL_IPS"] = ""   # skip plugin registration
-        os.execve(sys.executable, [sys.executable, __file__], env)
-    if os.environ.get("BENCH_FORCE_CPU") == "1":
+    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
+    attempt = os.environ.get("BENCH_TPU_ATTEMPT") == "1"
+
+    if force_cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    run_bench()
+        sys.exit(0 if run_bench() else 1)
+
+    if attempt:
+        # child process: one full TPU attempt, no fallback
+        if not device_available():
+            sys.exit(2)
+        sys.exit(0 if run_bench() else 1)
+
+    # parent: run the TPU attempt under a hard watchdog (a wedged remote
+    # transport can hang any device op indefinitely), else CPU fallback.
+    import subprocess
+
+    env = dict(os.environ)
+    env["BENCH_TPU_ATTEMPT"] = "1"
+    try:
+        rc = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            timeout=TPU_ATTEMPT_TIMEOUT_S,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        print("TPU attempt timed out", file=sys.stderr)
+        rc = -1
+    if rc == 0:
+        return
+    _cpu_fallback()
 
 
 if __name__ == "__main__":

@@ -167,6 +167,7 @@ class TrackConfig:
     # ops.pallas_epl.upsampled_code_doubled table.
     use_pallas: bool = False
     pallas_interpret: bool = False    # CPU debugging of the kernel
+    emit_correlators: bool = False    # include E/L outputs (diagnostics)
 
 
 @dataclass(frozen=True)

@@ -285,8 +285,13 @@ def track_epoch_step(
         epoch_idx=epoch + 1,
         code_wraps=state.code_wraps + code_wrapped.astype(jnp.int32),
     )
+    if cfg.emit_correlators:
+        diag = dict(ie=ie, qe=qe, il=il, ql=ql)
+    else:
+        z = jnp.zeros((0,), jnp.float32)
+        diag = dict(ie=z, qe=z, il=z, ql=z)
     outputs = TrackOutputs(
-        ip=ip, qp=qp, ie=ie, qe=qe, il=il, ql=ql,
+        ip=ip, qp=qp, **diag,
         code_phase_chips=state.code_phase_chips,
         doppler_hz=new_doppler,
         snr_db=snr_db,

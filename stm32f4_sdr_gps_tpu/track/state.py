@@ -55,7 +55,11 @@ class TrackState(NamedTuple):
 
 
 class TrackOutputs(NamedTuple):
-    """Per-epoch observables emitted by the scan, each (T, C)."""
+    """Per-epoch observables emitted by the scan, each (T, C).
+
+    The E/L correlator outputs are diagnostics; production consumers
+    (receiver, bench) only need the prompt + loop states, so E/L are
+    emitted as zero-size placeholders unless cfg.emit_correlators."""
 
     ip: jnp.ndarray
     qp: jnp.ndarray
