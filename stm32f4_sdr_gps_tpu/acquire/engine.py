@@ -183,6 +183,61 @@ def acquire(
     return analyze_power(power, prns, bins, plan, cfg)
 
 
+def refine_doppler(
+    samples: np.ndarray,
+    prn: int,
+    code_phase_chips: float,
+    coarse_doppler_hz: float,
+    plan: SignalPlan = BASEBAND_PLAN,
+    num_epochs: int = 32,
+) -> float:
+    """Fine Doppler via a long coherent FFT over per-epoch prompt
+    correlations at the acquired code phase.
+
+    The coarse grid (500 Hz bins + parabolic interpolation) leaves tens
+    of Hz of error; the FFT of ``num_epochs`` consecutive 1 ms prompt
+    outputs resolves the residual to ~1000/num_epochs Hz (zero-padded to
+    8x for sub-bin interpolation).  The firmware has no counterpart —
+    its pre-track only refines the code phase and leaves the carrier to
+    the FLL pull-in (tracking.c:398-499).
+    """
+    from ..ops.replica import sample_replicas
+    from ..ops.wipeoff import carrier_wipeoff
+
+    from ..signal.ca_code import ca_table_bipolar
+
+    s = plan.samples_per_epoch
+    e = min(num_epochs, len(samples) // s)
+    epochs = jnp.asarray(samples[: e * s].reshape(e, s), jnp.complex64)
+    # prompt replica at the acquired phase (epoch-invariant: one code
+    # period per epoch)
+    reps = sample_replicas(
+        jnp.asarray(ca_table_bipolar([prn])),
+        jnp.asarray([code_phase_chips], jnp.float32),
+        jnp.full((1,), plan.chips_per_sample, jnp.float32),
+        s,
+        (0.0,),
+    )[0, 0]
+
+    def per_epoch(phase, x):
+        y, phase = carrier_wipeoff(
+            x, jnp.asarray([coarse_doppler_hz], jnp.float32), phase,
+            plan.sample_rate_hz,
+        )
+        return phase, jnp.sum(y[0] * reps)
+
+    _, prompts = jax.lax.scan(
+        per_epoch, jnp.zeros((1,), jnp.float32), epochs
+    )
+    # squaring strips the BPSK nav bits; the squared tone sits at 2*df
+    pad = 8 * e
+    spec = np.abs(np.asarray(jnp.fft.fft(prompts * prompts, n=pad)))
+    freqs = np.fft.fftfreq(pad, d=s / plan.sample_rate_hz)
+    k = int(np.argmax(spec))
+    df = freqs[k] / 2.0
+    return float(coarse_doppler_hz + df)
+
+
 def acquire_epoch_vote(
     samples: np.ndarray,
     prns,

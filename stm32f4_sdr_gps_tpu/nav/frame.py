@@ -82,6 +82,8 @@ class NavFramer:
     inv_preamble_cnt: int = 0
     bit_counter: int = 0
     inv_hit_bits: List[int] = field(default_factory=list)
+    history: List[tuple] = field(default_factory=list)  # (raw_bit, epoch)
+    _replaying: bool = False
     last_word_epoch: int = 0
     words_decoded: int = 0       # word_cnt_test equivalent
     subframe_cnt: int = 0
@@ -93,6 +95,11 @@ class NavFramer:
         that *started* at ``epoch_ms``.  Returns completed subframes."""
         events: List[SubframeEvent] = []
         self.bit_counter += 1
+        if not self._replaying:
+            # raw-bit ring for post-polarity-flip replay (~2 subframes)
+            self.history.append((bit, epoch_ms))
+            if len(self.history) > 640:
+                self.history.pop(0)
         if self.inv_polarity:
             bit ^= 1
 
@@ -127,14 +134,24 @@ class NavFramer:
                     self.inv_hit_bits.append(here)
                     self.inv_hit_bits = self.inv_hit_bits[-8:]
                     if aligned:
+                        # Flip polarity and REPLAY the buffered raw bits
+                        # through the framing logic with the corrected
+                        # polarity: the subframe that passed between the
+                        # two TLM sightings is recovered instead of lost
+                        # (the firmware waits for the next one,
+                        # nav_data.c:281-291 — up to 6 s slower TTFF).
                         self.inv_polarity = not self.inv_polarity
-                        self.window = [b ^ 1 for b in self.window]
                         self.inv_hit_bits = []
-                        self._accept_word(list(self.window),
-                                          self.window_epochs[0])
+                        self.window = []
+                        self.window_epochs = []
+                        self.word_cnt = 0
+                        self.subframe_bits = []
+                        events.extend(self._replay_history())
+                        return events
             # Polarity re-detect timeout (nav_data.c:293-306)
             if (
                 self.polarity_found
+                and not self._replaying
                 and epoch_ms - self.last_word_epoch > BAD_POLARITY_TIMEOUT_MS
             ):
                 self.polarity_found = False
@@ -180,6 +197,20 @@ class NavFramer:
         return events
 
     # -- internals ---------------------------------------------------------
+
+    def _replay_history(self) -> List[SubframeEvent]:
+        """Re-feed the buffered raw bits with the (now corrected)
+        polarity.  Polarity detection is suppressed during replay; the
+        history is not re-recorded."""
+        self._replaying = True
+        self.polarity_found = True   # suppress inverted-preamble logic
+        events: List[SubframeEvent] = []
+        try:
+            for raw_bit, ep in list(self.history):
+                events.extend(self.push_bit(raw_bit, ep))
+        finally:
+            self._replaying = False
+        return events
 
     def _accept_word(self, word: List[int], start_epoch: int):
         """First word of a (candidate) subframe found by preamble match

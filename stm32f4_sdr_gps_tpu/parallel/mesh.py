@@ -50,6 +50,8 @@ def sharded_acquisition_power(
     cfc: jnp.ndarray,        # (P, S) — P divisible by mesh.shape['chan']
     rot: jnp.ndarray,        # (D, S) doppler rotations, replicated
     mesh: Mesh,
+    gather_output: bool = False,   # replicate the cube on every device
+    #   (multi-process runs need a fully-addressable result)
 ) -> jnp.ndarray:
     """Full non-coherent power cube (P, D, S), computed with epochs
     sharded over the ``time`` axis and PRNs over ``chan``; the partial
@@ -71,13 +73,20 @@ def sharded_acquisition_power(
         if pcast is not None:
             acc0 = pcast(acc0, ("time", "chan"), to="varying")
         acc, _ = jax.lax.scan(body, acc0, epochs_l)
-        return jax.lax.psum(acc, axis_name="time")
+        acc = jax.lax.psum(acc, axis_name="time")
+        if gather_output:
+            acc = jax.lax.all_gather(acc, "chan", axis=0, tiled=True)
+        return acc
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("time", None), P("chan", None), P(None, None)),
-        out_specs=P("chan", None, None),
+        out_specs=P(None, None, None) if gather_output
+        else P("chan", None, None),
+        # the VMA checker can't infer that a tiled all_gather over
+        # 'chan' makes the result replicated
+        check_vma=not gather_output,
     )
     return fn(epochs, cfc, rot)
 

@@ -119,7 +119,16 @@ class Receiver:
         self.channels = live
         table_np = ca_table_bipolar(prns)
         phases = np.array([ch.acq.code_phase_chips for ch in live])
-        dopplers = np.array([ch.acq.doppler_hz for ch in live])
+        # fine Doppler: long coherent FFT at the acquired code phase
+        # (acquire.engine.refine_doppler) shrinks the handoff error from
+        # tens of Hz to ~1 Hz
+        from ..acquire.engine import refine_doppler
+
+        dopplers = np.array([
+            refine_doppler(samples, ch.prn, ch.acq.code_phase_chips,
+                           ch.acq.doppler_hz, cfg.plan)
+            for ch in live
+        ])
         refined = refine_code_phase(
             samples, table_np, phases, dopplers, cfg.plan, cfg.track
         )

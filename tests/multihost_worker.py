@@ -1,0 +1,100 @@
+"""Worker for the multi-host (multi-process) mesh demo.
+
+Launched N times by test_multihost.py with JAX_PLATFORMS=cpu and 4
+virtual CPU devices per process; `jax.distributed.initialize` joins the
+processes into one 2x4-host global mesh (the DCN-equivalent of
+BASELINE.json config 5's N>=2 hosts).  Each process holds its own
+time-block shard of the capture; the non-coherent integration merges
+with psum across the host boundary.
+
+Exit code 0 + "MULTIHOST_OK" on stdout from process 0 means the global
+sharded acquisition matched the single-process reference.
+"""
+
+import os
+import sys
+
+proc_id = int(sys.argv[1])
+num_procs = int(sys.argv[2])
+coordinator = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=coordinator,
+    num_processes=num_procs,
+    process_id=proc_id,
+)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stm32f4_sdr_gps_tpu.config import BASEBAND_PLAN as PLAN  # noqa: E402
+from stm32f4_sdr_gps_tpu.acquire.engine import (  # noqa: E402
+    acquisition_power,
+    analyze_power,
+)
+from stm32f4_sdr_gps_tpu.config import AcqConfig  # noqa: E402
+from stm32f4_sdr_gps_tpu.ops.correlate import code_fft_conj  # noqa: E402
+from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations  # noqa: E402
+from stm32f4_sdr_gps_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh,
+    sharded_acquisition_power,
+)
+from stm32f4_sdr_gps_tpu.signal.simulator import (  # noqa: E402
+    SimSat,
+    simulate_capture,
+)
+
+assert len(jax.devices()) == 8, jax.devices()
+assert jax.process_count() == num_procs
+
+# time axis spans the two hosts: host 0 integrates epochs 0-3, host 1
+# epochs 4-7 — each host only materializes ITS OWN time-block.
+mesh = make_mesh(time=2, chan=4)
+
+sat = SimSat(prn=3, doppler_hz=1800.0, code_phase_chips=444.0,
+             cn0_dbhz=46.0)
+E, S = 8, PLAN.samples_per_epoch
+x, _ = simulate_capture([sat], num_epochs=E, seed=42)
+epochs_np = x.reshape(E, S)
+
+prns = list(range(1, 9))
+cfc = code_fft_conj(prns, PLAN)
+bins = np.arange(-3000.0, 3001.0, 500.0, dtype=np.float32)
+rot = doppler_rotations(jnp.asarray(bins), S, PLAN.sample_rate_hz)
+
+# Build the globally-sharded epoch array from per-host local blocks.
+sharding = NamedSharding(mesh, P("time", None))
+local_rows = epochs_np[proc_id * (E // 2): (proc_id + 1) * (E // 2)]
+epochs = jax.make_array_from_process_local_data(sharding, local_rows,
+                                                (E, S))
+
+with jax.sharding.set_mesh(mesh):
+    power = sharded_acquisition_power(epochs, cfc, rot, mesh,
+                                      gather_output=True)
+    power.block_until_ready()
+
+if proc_id == 0:
+    # fully replicated output: every process can read it locally
+    got = np.asarray(power.addressable_data(0))
+    ref = np.asarray(
+        acquisition_power(jnp.asarray(epochs_np), cfc, rot)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-2)
+    res = analyze_power(got, prns, bins, PLAN, AcqConfig())
+    by = {r.prn: r for r in res}
+    assert by[3].detected and abs(by[3].doppler_hz - 1800.0) < 260.0
+    print("MULTIHOST_OK", flush=True)
+jax.distributed.shutdown()

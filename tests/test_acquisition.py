@@ -84,3 +84,19 @@ def test_nav_bit_transition_tolerance():
     res = acquire(x, [8], BASEBAND_PLAN, AcqConfig())[0]
     assert res.detected
     assert abs(_phase_err(res.code_phase_chips, 50.0)) < 0.5
+
+
+def test_refine_doppler_sub_hz():
+    """Long coherent FFT refinement: coarse-grid error (tens of Hz)
+    collapses to a few Hz, robust to nav-bit flips (squaring)."""
+    from stm32f4_sdr_gps_tpu.acquire.engine import refine_doppler
+
+    bits = np.random.default_rng(1).integers(0, 2, 20).astype(np.int8)
+    sat = SimSat(prn=19, doppler_hz=-2711.0, code_phase_chips=512.0,
+                 cn0_dbhz=44.0, nav_bits=bits)
+    x, _ = simulate_capture([sat], num_epochs=40, seed=9)
+    r = acquire(x, [19], BASEBAND_PLAN, AcqConfig())[0]
+    assert r.detected
+    fine = refine_doppler(x, 19, r.code_phase_chips, r.doppler_hz)
+    assert abs(fine + 2711.0) < 5.0
+    assert abs(fine + 2711.0) <= abs(r.doppler_hz + 2711.0) + 1e-6
