@@ -170,6 +170,18 @@ class TrackConfig:
     emit_correlators: bool = False    # include E/L outputs (diagnostics)
 
 
+#: Narrow-bandwidth loop preset for weak signals: holds lock down to
+#: ~29 dBHz (the firmware-gain default degrades below ~32 dBHz).  The
+#: longer time constants assume low platform dynamics.
+WEAK_SIGNAL_TRACK = TrackConfig(
+    pll_scale=1.0 / 16,
+    fll_scale=1.0 / 16,
+    dll_c1=0.25,
+    dll_c2=75.0,
+    snr_window_epochs=1000,
+)
+
+
 @dataclass(frozen=True)
 class ReceiverConfig:
     """Top-level receiver configuration (the gps_master + main.c role)."""

@@ -86,3 +86,30 @@ def test_cli_simulate_and_run_smoke(tmp_path, capsys):
     assert main(["run", cap, "--prns", "7"]) == 0
     out = capsys.readouterr().out
     assert "TRACKING" in out
+
+
+def test_weak_signal_preset_tracks_29dbhz():
+    """WEAK_SIGNAL_TRACK holds lock at 29 dBHz where the firmware-gain
+    default degrades — a capability beyond the reference."""
+    import jax.numpy as jnp
+
+    from stm32f4_sdr_gps_tpu.config import WEAK_SIGNAL_TRACK
+    from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar
+    from stm32f4_sdr_gps_tpu.track.scan import track_block
+    from stm32f4_sdr_gps_tpu.track.state import init_state
+
+    sat = SimSat(prn=9, doppler_hz=900.0, code_phase_chips=400.0,
+                 cn0_dbhz=29.0)
+    E = 3000
+    x, truth = simulate_capture([sat], num_epochs=E, seed=4)
+    st = init_state(1, np.array([400.2]), np.array([905.0]))
+    st, outs = track_block(
+        st, jnp.asarray(x.reshape(E, 2046)),
+        jnp.asarray(ca_table_bipolar([9])), BASEBAND_PLAN,
+        WEAK_SIGNAL_TRACK,
+    )
+    dop = np.asarray(outs.doppler_hz)[:, 0]
+    cp = np.asarray(outs.code_phase_chips)[:, 0]
+    assert abs(np.mean(dop[-300:]) - 900.0) < 8.0
+    err = (cp[-1] - truth.code_phase_at_epoch(0, E - 1) + 511.5) % 1023 - 511.5
+    assert abs(err) < 0.3
