@@ -66,10 +66,12 @@ def test_checkpoint_resume_bit_exact(tmp_path, short_capture):
         assert ch_f.bit_count == ch_b.bit_count
 
 
-def test_warm_reset_preserves_doppler(short_capture):
+def test_warm_reset_preserves_doppler():
     """Warm reset re-acquires code phase with the learned Doppler as
     hint and keeps tracking (gps_master.c:490-510 capability)."""
-    x, truth = short_capture
+    # long enough that even inverted-polarity channels decode words
+    # (polarity needs two subframe-aligned TLM sightings)
+    x, truth = _make_capture(2300, seed=13)
     rx = Receiver(_cfg())
     rx.run(x)
     doppler_before = {ch.prn: ch.doppler_hz for ch in rx.channels}
