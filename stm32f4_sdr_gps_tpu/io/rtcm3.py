@@ -228,24 +228,26 @@ def encode_msm(msg_type: int, tow_s: float, obs: List[MsmObs],
     for _ in obs:                                  # cell mask: all on
         w.set_u(1, 1)
 
-    # satellite data
+    # satellite data.  Quantize once to 1/1024 ms so the rounding carry
+    # propagates into the integer-ms field (a fractional part that
+    # rounds to 1024 must increment the rough range, not wrap to 0).
     ranges_ms = [o.pseudorange_m / RANGE_MS for o in obs]
-    for rng in ranges_ms:
-        w.set_u(int(rng), 8)                       # rough range, int ms
+    rough_units = [int(round(r * 1024.0)) for r in ranges_ms]
+    for u in rough_units:
+        w.set_u(u >> 10, 8)                        # rough range, int ms
     if msm5:
         for o in obs:
             w.set_u(0, 4)                          # extended sat info
-    for rng in ranges_ms:
-        w.set_u(int(round((rng - int(rng)) * 1024.0)) & 0x3FF, 10)
+    for u in rough_units:
+        w.set_u(u & 0x3FF, 10)
     if msm5:
         for o in obs:
             rate = -o.doppler_hz * _L1_WAVELENGTH  # range rate m/s
             w.set_s(int(round(rate)), 14)
 
     # signal data
-    for o, rng in zip(obs, ranges_ms):
-        rough = int(rng) + int(round((rng - int(rng)) * 1024.0)) / 1024.0
-        fine = (rng - rough)                       # ms
+    for u, rng in zip(rough_units, ranges_ms):
+        fine = rng - u / 1024.0                    # ms
         w.set_s(int(round(fine / 2.0 ** -24)), 15)
     for o, rng in zip(obs, ranges_ms):
         w.set_s(0, 22)                             # fine phaserange (unused)

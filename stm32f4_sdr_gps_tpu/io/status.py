@@ -58,6 +58,24 @@ class PositionPlot:
         return "\n".join(lines)
 
 
+def _eph_utc_line(receiver) -> str:
+    """UTC wall time from the freshest decoded subframe TOW."""
+    import datetime
+
+    from ..config import GPS_UTC_OFFSET_S, UNIX2GPS_S
+
+    best = None
+    for ch in receiver.channels:
+        if getattr(ch, "subframe_tow_s", 0) and ch.eph.week:
+            t = (UNIX2GPS_S + ch.eph.week * 604800
+                 + ch.subframe_tow_s - GPS_UTC_OFFSET_S)
+            best = max(best or 0, t)
+    if not best:
+        return ""
+    dt = datetime.datetime.fromtimestamp(best, datetime.timezone.utc)
+    return f"EPH UTC  {dt.strftime('%Y-%m-%d %H:%M:%S')}"
+
+
 def render_status(receiver, vt100: bool = False) -> str:
     """One status screen for a runtime.Receiver."""
     out = []
@@ -65,6 +83,11 @@ def render_status(receiver, vt100: bool = False) -> str:
         out.append("\x1b[2J\x1b[H")
     t_s = receiver.epoch_cursor / 1000.0
     out.append(f"RUNTIME {t_s:8.1f} s   epochs={receiver.epoch_cursor}")
+    # GPS->UTC clock from decoded ephemeris time (print_state.c:157-176
+    # displays the eph UTC time the same way)
+    utc = _eph_utc_line(receiver)
+    if utc:
+        out.append(utc)
     out.append(
         f"{'PRN':>4} {'STATE':>10} {'SNR dB':>7} {'DOPP Hz':>9} "
         f"{'CODE':>8} {'BITS':>6} {'SUBFR':>6}"

@@ -21,7 +21,11 @@ import numpy as np
 from ..track.state import TrackState
 
 
-def save_receiver(path: str, receiver) -> None:
+def save_receiver(path: str, receiver) -> str:
+    """Write the checkpoint; returns the actual file path (numpy appends
+    .npz when missing, which would otherwise break load_receiver)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     arrays = {}
     if receiver.track_state is not None:
         for f in TrackState._fields:
@@ -39,11 +43,14 @@ def save_receiver(path: str, receiver) -> None:
     pickle.dump(host, blob)
     arrays["host_blob"] = np.frombuffer(blob.getvalue(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
+    return path
 
 
 def load_receiver(path: str):
     from .receiver import Receiver
 
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     data = np.load(path, allow_pickle=False)
     host = pickle.loads(data["host_blob"].tobytes())
     rx = Receiver(host["config"])

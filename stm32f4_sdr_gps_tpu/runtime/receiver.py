@@ -49,6 +49,8 @@ class ChannelStatus:
     eph: Ephemeris = field(default_factory=Ephemeris)
     subframe_time_ms: int = 0     # last subframe boundary (ledger ms)
     subframe_tow_s: float = 0.0   # TOW labelling that boundary
+    # recent boundary residues on the nav-bit grid, for de-jittering
+    boundary_residues: list = field(default_factory=list)
     subframe_count: int = 0
     bit_count: int = 0
     snr_db: float = 0.0
@@ -177,7 +179,11 @@ class Receiver:
                     # (300 bits x codes_in_bit ms per bit)
                     sf_ms = (WORDS_IN_SUBFRAME * WORD_LENGTH_BITS
                              * cfg.track.codes_in_bit)
-                    ch.subframe_time_ms = sf.start_epoch_ms + sf_ms
+                    boundary = self._dejitter_boundary(
+                        ch, sf.start_epoch_ms + sf_ms,
+                        cfg.track.codes_in_bit,
+                    )
+                    ch.subframe_time_ms = boundary
                     ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
             ch.snr_db = float(snr[-1, c])
             ch.doppler_hz = float(dop[-1, c])
@@ -204,6 +210,29 @@ class Receiver:
         ):
             self._last_rtcm_ms = end_ms
             self._emit_rtcm(end_ms - 1)
+
+    @staticmethod
+    def _dejitter_boundary(ch: ChannelStatus, boundary: int,
+                           cib: int) -> int:
+        """Snap a detected subframe boundary to the channel's nav-bit
+        grid.
+
+        Bit-edge detection can slip +/-1 epoch under noise when the edge
+        lies near an epoch midpoint, which would shift the reconstructed
+        pseudorange by a full ms (300 km) — the error class behind the
+        firmware's accurate-sync refinement (nav_data.c:145-218).
+        Boundaries repeat on the bit grid, so the median residue of
+        recent detections identifies and removes isolated slips.
+        """
+        res = boundary % cib
+        hist = ch.boundary_residues
+        hist.append(res)
+        del hist[:-5]
+        if len(hist) >= 3:
+            med = int(np.median(hist))
+            delta = (res - med + cib // 2) % cib - cib // 2
+            boundary -= delta
+        return boundary
 
     def _filtered_code_phase(self, cp_hist: np.ndarray,
                              doppler_hz: float) -> float:

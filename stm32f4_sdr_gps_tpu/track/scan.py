@@ -73,7 +73,6 @@ def track_epoch_step(
     """Advance all channels one epoch.  Returns (new_state, outputs)."""
     fs = plan.sample_rate_hz
     s_cnt = plan.samples_per_epoch
-    dt = jnp.float32(cfg.dt_s)
 
     # ---- code NCO: carrier-aided code frequency --------------------------
     code_freq_cps = (

@@ -97,3 +97,17 @@ def test_status_render_smoke():
         plot.add(base + jitter)
     art = plot.render()
     assert art.count("*") >= 1 and "+--------+" in art
+
+
+def test_msm_rounding_carry_edge():
+    """A fractional range that rounds up to the next 1/1024 ms boundary
+    must carry into the integer-ms field, not wrap to zero."""
+    from stm32f4_sdr_gps_tpu.config import CLIGHT
+
+    # 70 ms minus a hair less than half a 1/1024 ms quantum
+    rng_ms = 70.0 - 0.4 / 1024.0
+    obs = [MsmObs(sat=1, pseudorange_m=rng_ms * CLIGHT / 1000.0)]
+    got = decode_msm(deframe(frame(encode_msm(1074, 1000.0, obs))))
+    assert got["obs"][0]["pseudorange_m"] == pytest.approx(
+        obs[0].pseudorange_m, abs=0.05
+    )

@@ -103,3 +103,19 @@ def test_receiver_emits_rtcm(short_capture):
             assert {o["sat"] for o in d["obs"]} <= set(PRNS)
     assert 1019 in kinds
     assert 1075 in kinds
+
+
+def test_boundary_dejitter():
+    """An isolated +/-1 epoch bit-edge slip is snapped back to the
+    channel's nav-bit grid once 3 detections exist."""
+    from stm32f4_sdr_gps_tpu.runtime.receiver import ChannelStatus, Receiver
+
+    ch = ChannelStatus(prn=1)
+    cib = 20
+    seq_in = [6007, 12007, 18008, 24007, 30006, 36007]  # slips at 3rd/5th
+    out = [Receiver._dejitter_boundary(ch, b, cib) for b in seq_in]
+    assert out[0] == 6007 and out[1] == 12007   # history too short
+    assert out[2] == 18007                      # +1 slip corrected
+    assert out[3] == 24007
+    assert out[4] == 30007                      # -1 slip corrected
+    assert out[5] == 36007
