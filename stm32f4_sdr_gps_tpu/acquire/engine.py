@@ -58,15 +58,30 @@ def acquisition_power(
 
     Scans over epoch blocks so peak memory stays at one (D, P, S) complex
     cube; with ``coherent > 1`` the complex correlations of that many
-    consecutive epochs are summed before squaring.
+    consecutive epochs are summed before squaring.  The coherent sum
+    applies the inter-epoch carrier phasor of each Doppler bin (each
+    epoch's rotation restarts at phase 0, so epoch k of bin d carries an
+    extra e^{-j*2pi*f_d*k*T} that must be compensated or the coherent
+    gain cancels itself).  Coherent spans must stay within a nav bit.
     """
     e, s = epochs.shape
     blocks = epochs[: (e // coherent) * coherent].reshape(-1, coherent, s)
 
+    # inter-epoch phasor per Doppler bin: rot[d, 1] is the per-sample
+    # step e^{-j*2pi*f_d/fs}; raising to S gives the per-epoch advance
+    if coherent > 1:
+        ang1 = jnp.angle(rot[:, 1])                        # -2*pi*f_d/fs
+        k = jnp.arange(coherent, dtype=jnp.float32)
+        phasor = jnp.exp(
+            1j * ang1[None, :] * (s * k[:, None])
+        ).astype(rot.dtype)                                # (co, D)
+    else:
+        phasor = jnp.ones((1, rot.shape[0]), rot.dtype)
+
     def body(acc, block):
         xd = block[:, None, :] * rot[None, :, :]          # (co, D, S)
         corr = fft_circular_correlate(xd, cfc)             # (co, D, P, S)
-        csum = corr.sum(axis=0)                            # coherent sum
+        csum = (corr * phasor[:, :, None, None]).sum(axis=0)
         return acc + noncoherent_power(csum).transpose(1, 0, 2), None
 
     p, d = cfc.shape[0], rot.shape[0]

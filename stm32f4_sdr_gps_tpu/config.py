@@ -170,6 +170,17 @@ class TrackConfig:
     emit_correlators: bool = False    # include E/L outputs (diagnostics)
 
 
+#: Deep-acquisition preset: 4 ms coherent spans with a Doppler grid fine
+#: enough for the coherent bandwidth (bin <= 1/(2*T_coh)), 60 epochs of
+#: integration — detects ~3 dB below the firmware-grid default
+#: (~31 dBHz vs ~34 dBHz).  Coherent spans assume bit edges are unknown,
+#: so spans longer than ~5 epochs risk straddling a nav-bit flip.
+DEEP_ACQ = AcqConfig(
+    noncoherent_epochs=60,
+    coherent_epochs=4,
+    doppler_step_hz=100.0,
+)
+
 #: Narrow-bandwidth loop preset for weak signals: holds lock down to
 #: ~29 dBHz (the firmware-gain default degrades below ~32 dBHz).  The
 #: longer time constants assume low platform dynamics.

@@ -113,3 +113,21 @@ def test_weak_signal_preset_tracks_29dbhz():
     assert abs(np.mean(dop[-300:]) - 900.0) < 8.0
     err = (cp[-1] - truth.code_phase_at_epoch(0, E - 1) + 511.5) % 1023 - 511.5
     assert abs(err) < 0.3
+
+
+def test_deep_acquisition_coherent_gain():
+    """DEEP_ACQ (4 ms coherent spans + matched 100 Hz grid) detects at
+    31 dBHz where the same integration applied non-coherently fails —
+    verifying the inter-epoch phasor compensation."""
+    from stm32f4_sdr_gps_tpu.config import DEEP_ACQ
+
+    sat = SimSat(prn=5, doppler_hz=1730.0, code_phase_chips=512.0,
+                 cn0_dbhz=31.0)
+    x, _ = simulate_capture([sat], num_epochs=60, seed=2)
+    nc = AcqConfig(noncoherent_epochs=60, doppler_step_hz=100.0)
+    r_nc = acquire(x, [5], BASEBAND_PLAN, nc)[0]
+    r_co = acquire(x, [5], BASEBAND_PLAN, DEEP_ACQ)[0]
+    assert not r_nc.detected
+    assert r_co.detected
+    assert abs(r_co.doppler_hz - 1730.0) < 150.0
+    assert abs(r_co.code_phase_chips - 512.0) < 1.0
