@@ -89,13 +89,14 @@ def render_status(receiver, vt100: bool = False) -> str:
     if utc:
         out.append(utc)
     out.append(
-        f"{'PRN':>4} {'STATE':>10} {'SNR dB':>7} {'DOPP Hz':>9} "
+        f"{'PRN':>4} {'STATE':>10} {'SNR dB':>7} {'C/N0':>6} {'DOPP Hz':>9} "
         f"{'CODE':>8} {'BITS':>6} {'SUBFR':>6}"
     )
     for ch in receiver.channels:
         if ch.state_name == "TRACKING":
             out.append(
                 f"{ch.prn:>4} {ch.state_name:>10} {ch.snr_db:7.1f} "
+                f"{getattr(ch, 'cn0_dbhz', 0.0):6.1f} "
                 f"{ch.doppler_hz:9.1f} {ch.code_phase_chips:8.2f} "
                 f"{ch.bit_count:6d} {ch.subframe_count:6d}"
             )

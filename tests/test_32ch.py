@@ -79,3 +79,31 @@ def test_streaming_tracker_32_channels(capture):
         if p in PRESENT:
             want = PRESENT[p][0]
             assert abs(np.mean(dop[-10:, ci]) - want) < 30.0, p
+
+
+def test_mesh_receiver_end_to_end():
+    """Full receiver with mesh-sharded acquisition + channel-sharded
+    tracking (BASELINE config 5 single-controller shape): decodes the
+    same ephemerides as the plain receiver."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from stm32f4_sdr_gps_tpu.config import ReceiverConfig, TrackConfig
+    from stm32f4_sdr_gps_tpu.runtime.mesh_receiver import MeshReceiver
+
+    from tests.test_receiver import _make_capture, PRNS, CIB
+
+    num_epochs = 120 * CIB + 4 * 300 * CIB + 400
+    x, _ = _make_capture(num_epochs, seed=11)
+    cfg = ReceiverConfig(
+        prns=PRNS,
+        track=TrackConfig(codes_in_bit=CIB, pll_bad_state_threshold=10**9),
+        enable_position=False,
+        track_block_epochs=500,
+    )
+    mesh = make_mesh(time=2, chan=4)
+    rx = MeshReceiver(cfg, mesh)
+    report = rx.run(x)
+    assert len(report.channels) == 4
+    for ch in report.channels:
+        assert ch.state_name == "TRACKING"
+        assert (ch.eph.received_mask_proc & 0x7) == 0x7, ch.prn

@@ -119,3 +119,12 @@ def test_boundary_dejitter():
     assert out[3] == 24007
     assert out[4] == 30007                      # -1 slip corrected
     assert out[5] == 36007
+
+
+def test_cn0_estimate_matches_planted(short_capture):
+    """M2M4 C/N0 estimate within ~2.5 dB of the planted 49 dBHz."""
+    x, _ = short_capture
+    rx = Receiver(_cfg())
+    rx.run(x)
+    for ch in rx.channels:
+        assert abs(ch.cn0_dbhz - 49.0) < 2.5, (ch.prn, ch.cn0_dbhz)
