@@ -113,6 +113,12 @@ def render_status(receiver, vt100: bool = False) -> str:
             f"POS  lat={lat:+.6f}  lon={lon:+.6f}  h={hgt:7.1f} m  "
             f"ns={sol.ns}  iters={sol.iterations}"
         )
+        if sol.vel is not None:
+            v = np.linalg.norm(sol.vel)
+            out.append(
+                f"VEL  |v|={v:6.2f} m/s  clk drift="
+                f"{sol.dtr_drift_s * 1e9:+.2f} ns/s"
+            )
         plot = PositionPlot()
         for s in receiver.solutions:
             plot.add(s.pos_llh)

@@ -40,6 +40,48 @@ from .gpstime import gpst2time
 from .solve import Obs
 
 CLIGHT_PER_MS = CLIGHT / 1000.0   # CLIGHT_NORM (gps_master.c:33)
+LAMBDA_L1_M = CLIGHT / 1.57542e9  # L1 wavelength
+
+
+@dataclass
+class HatchState:
+    """Carrier-smoothing filter state for one channel.
+
+    The firmware has no carrier observable (obsd L=0,
+    rtklib_common.c:84); here the integrated Doppler (accumulated
+    carrier cycles from the tracking loop) propagates the pseudorange
+    between measurements and a growing-window Hatch filter averages the
+    code noise down.
+    """
+
+    pr_m: float = 0.0
+    carrier_cycles: float = 0.0
+    count: int = 0
+    window: int = 100
+    reset_threshold_m: float = 50.0
+
+    def update(self, pr_m: float, carrier_cycles: float) -> float:
+        """Fold in a new (pseudorange, accumulated carrier) pair and
+        return the smoothed pseudorange."""
+        if self.count == 0:
+            self.pr_m = pr_m
+            self.carrier_cycles = carrier_cycles
+            self.count = 1
+            return pr_m
+        # carrier-propagated prediction: positive Doppler = closing range
+        delta_r = -LAMBDA_L1_M * (carrier_cycles - self.carrier_cycles)
+        predicted = self.pr_m + delta_r
+        if abs(pr_m - predicted) > self.reset_threshold_m:
+            # code/carrier divergence (loop kick, slip): restart
+            self.pr_m = pr_m
+            self.carrier_cycles = carrier_cycles
+            self.count = 1
+            return pr_m
+        k = min(self.count + 1, self.window)
+        self.pr_m = pr_m / k + (predicted * (k - 1)) / k
+        self.carrier_cycles = carrier_cycles
+        self.count += 1
+        return self.pr_m
 
 
 @dataclass

@@ -44,6 +44,7 @@ class Obs:
     P: float                  # pseudorange, m
     D: float = 0.0            # Doppler, Hz
     snr: float = 0.0
+    L: float = 0.0            # carrier phase, cycles (integrated Doppler)
 
 
 @dataclass
@@ -60,6 +61,8 @@ class Solution:
     azel_deg: Optional[np.ndarray] = None
     residuals: Optional[np.ndarray] = None
     iterations: int = 0
+    vel: Optional[np.ndarray] = None       # ECEF velocity, m/s
+    dtr_drift_s: float = 0.0               # clock drift, s/s
 
 
 def ecef2pos(r):
@@ -219,6 +222,37 @@ def estpos(obs_list, rs, dts, vare, svh, eph_map, x0=None, ion_params=None):
     return sol
 
 
+def solve_velocity(obs_list, rs, sol: Solution) -> bool:
+    """Receiver velocity + clock drift from Doppler observations.
+
+    The firmware never computes velocity (sol_t rr[3:6] stays zero,
+    solving.c:426).  Model: the measured range rate
+    ``-lambda_L1 * D_i`` equals ``e_i . (v_sat - v_rx) + ddtr`` with
+    ``e_i`` the receiver->satellite unit vector; linear least squares in
+    (v_rx, ddtr).  Requires sol.ok (uses the fixed position's geometry).
+    Fills sol.vel (m/s, ECEF) and sol.dtr_drift_s.
+    """
+    lam = CLIGHT / 1.57542e9
+    rows, y = [], []
+    for i, obs in enumerate(obs_list):
+        if obs.D == 0.0 and len(obs_list) < 4:
+            continue
+        r, e = geodist(rs[i], sol.rr)
+        if r <= 0:
+            continue
+        rdot_meas = -lam * obs.D
+        rows.append(np.concatenate([-e, [1.0]]))
+        y.append(rdot_meas - e @ rs[i][3:6])
+    if len(rows) < 4:
+        return False
+    H = np.asarray(rows)
+    yv = np.asarray(y)
+    dx, _ = lsq(H, yv)
+    sol.vel = dx[:3]
+    sol.dtr_drift_s = dx[3] / CLIGHT
+    return True
+
+
 def pntpos(obs_list: List[Obs], eph_map: Dict[int, object],
            x0=None, ion_params=None) -> Solution:
     """Single-point position from pseudoranges (pntpos, solving.c:153-181):
@@ -228,4 +262,7 @@ def pntpos(obs_list: List[Obs], eph_map: Dict[int, object],
     rs, dts, var, svh, ok = satposs(obs_list[0].time, obs_list, eph_map)
     if not ok.all():
         return Solution()
-    return estpos(obs_list, rs, dts, var, svh, eph_map, x0, ion_params)
+    sol = estpos(obs_list, rs, dts, var, svh, eph_map, x0, ion_params)
+    if sol.ok and any(o.D != 0.0 for o in obs_list):
+        solve_velocity(obs_list, rs, sol)
+    return sol

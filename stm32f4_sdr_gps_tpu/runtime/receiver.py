@@ -31,7 +31,8 @@ from ..acquire.engine import AcqResult, acquire
 from ..config import ReceiverConfig, WORDS_IN_SUBFRAME, WORD_LENGTH_BITS
 from ..nav.ephemeris import Ephemeris, decode_subframe, getbitu
 from ..nav.frame import NavFramer
-from ..pvt.observables import ChannelObservables, form_observations
+from ..pvt.observables import (ChannelObservables, HatchState,
+                               form_observations)
 from ..pvt.solve import Solution, pntpos
 from ..signal.ca_code import ca_table_bipolar
 from ..track.pretrack import refine_code_phase
@@ -51,10 +52,12 @@ class ChannelStatus:
     subframe_tow_s: float = 0.0   # TOW labelling that boundary
     # recent boundary residues on the nav-bit grid, for de-jittering
     boundary_residues: list = field(default_factory=list)
+    hatch: HatchState = field(default_factory=HatchState)
     subframe_count: int = 0
     bit_count: int = 0
     snr_db: float = 0.0
     cn0_dbhz: float = 0.0
+    carrier_cycles: float = 0.0   # integrated Doppler (L observable)
     doppler_hz: float = 0.0
     code_phase_chips: float = 0.0
     state_name: str = "IDLE"
@@ -216,6 +219,11 @@ class Receiver:
                 np.asarray(outs.qp)[clean, c],
             )
             ch.doppler_hz = float(dop[-1, c])
+            # integrated Doppler = carrier-phase observable (cycles);
+            # float64 host accumulation avoids f32 drift
+            ch.carrier_cycles += float(
+                np.sum(dop[:, c].astype(np.float64)) * 1e-3
+            )
             ch.code_phase_chips = float(cp[-1, c])
             if cfg.enable_code_filter:
                 ch.code_phase_chips = self._filtered_code_phase(
@@ -303,6 +311,11 @@ class Receiver:
         obs = form_observations(chobs, meas_epoch_ms)
         if obs is None:
             return
+        # carrier smoothing (Hatch): integrated Doppler propagates the
+        # pseudorange between solve epochs, averaging code noise down
+        for o, ch in zip(obs, ready):
+            o.P = ch.hatch.update(o.P, ch.carrier_cycles)
+            o.L = ch.carrier_cycles
         eph_map = {ch.prn: ch.eph for ch in ready}
         x0 = self.solutions[-1].rr if self.solutions else None
         sol = pntpos(obs, eph_map, x0=x0)

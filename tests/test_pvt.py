@@ -164,3 +164,60 @@ def test_pntpos_fails_gracefully_with_few_sats():
     t = gpst2time(WEEK, TOE + 60.0)
     sol = pntpos([Obs(sat=1, time=t, P=2.2e7)], eph_map)
     assert not sol.ok
+
+
+def test_hatch_smoothing_reduces_code_noise():
+    """Carrier-propagated Hatch filter: smoothed pseudorange noise well
+    below raw code noise when the carrier is clean."""
+    from stm32f4_sdr_gps_tpu.pvt.observables import HatchState, LAMBDA_L1_M
+
+    rng = np.random.default_rng(0)
+    n = 200
+    true_range = 2.1e7 + np.cumsum(np.full(n, -0.4))   # closing at 0.4 m/step
+    code = true_range + rng.normal(0, 15.0, n)          # 15 m code noise
+    carrier_cycles = -(true_range - true_range[0]) / LAMBDA_L1_M
+
+    h = HatchState(window=100)
+    smoothed = np.array([h.update(code[k], carrier_cycles[k])
+                         for k in range(n)])
+    raw_err = code[50:] - true_range[50:]
+    sm_err = smoothed[50:] - true_range[50:]
+    assert np.std(sm_err) < np.std(raw_err) / 3.0
+
+
+def test_hatch_resets_on_divergence():
+    from stm32f4_sdr_gps_tpu.pvt.observables import HatchState
+
+    h = HatchState()
+    h.update(2.0e7, 0.0)
+    h.update(2.0e7 + 1.0, 0.0)
+    assert h.count == 2
+    # 1 km jump with no carrier change -> reset, output follows the code
+    out = h.update(2.0e7 + 1000.0, 0.0)
+    assert out == 2.0e7 + 1000.0
+    assert h.count == 1
+
+
+def test_velocity_solution_static_receiver():
+    """Doppler consistent with satellite range rates must solve to
+    ~zero receiver velocity (firmware leaves velocity unsolved)."""
+    rr_true = pos2ecef(np.array([np.radians(51.5), np.radians(-0.1), 80.0]))
+    obs_time = gpst2time(WEEK, TOE + 60.0)
+    geom = [(1.5, 4.65), (0.5, 0.52), (2.0, 3.62), (1.5, 3.62), (1.0, 5.68)]
+    lam = CLIGHT / 1.57542e9
+    eph_map = {k: make_eph(k, M0=m0, OMG0=o0)
+               for k, (m0, o0) in enumerate(geom, start=1)}
+    obs = []
+    drift_mps = 1.7       # receiver clock drift, m/s equivalent
+    for k, eph in eph_map.items():
+        P = _forward_pseudorange(obs_time, eph, rr_true, 1e-4, eph_map)
+        o = Obs(sat=k, time=obs_time, P=P)
+        rs, dts, var, svh, ok = satposs(obs_time, [o], eph_map)
+        r, e = geodist(rs[0], rr_true)
+        rdot = float(e @ rs[0][3:6]) + drift_mps
+        o.D = -rdot / lam
+        obs.append(o)
+    sol = pntpos(obs, eph_map)
+    assert sol.ok and sol.vel is not None
+    assert np.linalg.norm(sol.vel) < 0.1, sol.vel
+    assert sol.dtr_drift_s * CLIGHT == pytest.approx(drift_mps, abs=0.05)
