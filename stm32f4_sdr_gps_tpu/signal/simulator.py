@@ -81,6 +81,39 @@ class SimTruth:
         return float(chips % CODE_LENGTH)
 
 
+def inject_fault(
+    samples: np.ndarray,
+    start_ms: float,
+    duration_ms: float,
+    mode: str = "dropout",
+    sample_rate_hz: float = 2.046e6,
+    seed: int = 0,
+) -> np.ndarray:
+    """Fault injection (the role of the firmware fixture's noise knob,
+    simulator.c:40-58, but time-targeted): corrupt a span of a capture.
+
+    ``mode``: 'dropout' zeroes the span (signal blockage); 'noise'
+    replaces it with unit AWGN (jamming/interference burst).
+    """
+    out = samples.copy()
+    a = int(start_ms * 1e-3 * sample_rate_hz)
+    b = a + int(duration_ms * 1e-3 * sample_rate_hz)
+    b = min(b, len(out))
+    if mode == "dropout":
+        out[a:b] = 0
+    elif mode == "noise":
+        rng = np.random.default_rng(seed)
+        n = b - a
+        if np.iscomplexobj(out):
+            out[a:b] = (rng.standard_normal(n)
+                        + 1j * rng.standard_normal(n)) / np.sqrt(2)
+        else:
+            out[a:b] = rng.standard_normal(n)
+    else:
+        raise ValueError(f"unknown fault mode {mode!r}")
+    return out
+
+
 def _amplitude_for_cn0(cn0_dbhz: float, fs: float, noise_sigma: float) -> float:
     """Signal amplitude giving the requested C/N0 against complex noise of
     per-sample variance ``noise_sigma**2`` (N0 = sigma^2 / fs)."""

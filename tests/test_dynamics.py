@@ -54,3 +54,49 @@ def test_simulator_chirp_truth_consistency():
     want = (1.023e6 * (t + dop_int / 1.57542e9)) % 1023
     got = truth.code_phase_at_epoch(0, 1)
     assert abs(got - want) < 1e-9
+
+
+def test_tracking_survives_signal_dropout():
+    """A 40 ms blockage (zeroed samples) must not break lock: the loops
+    coast on zero discriminators and re-converge (failure-recovery
+    capability class of SURVEY.md §5)."""
+    from stm32f4_sdr_gps_tpu.signal.simulator import inject_fault
+    from stm32f4_sdr_gps_tpu.config import TrackConfig
+
+    sat = SimSat(prn=6, doppler_hz=1500.0, code_phase_chips=100.0,
+                 cn0_dbhz=46.0)
+    E = 2000
+    x, truth = simulate_capture([sat], num_epochs=E, seed=7)
+    x = inject_fault(x, start_ms=800.0, duration_ms=40.0, mode="dropout")
+    st = init_state(1, np.array([100.1]), np.array([1510.0]))
+    st, outs = track_block(
+        st, jnp.asarray(x.reshape(E, 2046)),
+        jnp.asarray(ca_table_bipolar([6])), PLAN, TrackConfig(),
+    )
+    dop = np.asarray(outs.doppler_hz)[:, 0]
+    cp = np.asarray(outs.code_phase_chips)[:, 0]
+    assert abs(np.mean(dop[-200:]) - 1500.0) < 10.0
+    err = _phase_err(cp[-1], truth.code_phase_at_epoch(0, E - 1))
+    assert abs(err) < 0.3
+
+
+def test_tracking_survives_noise_burst():
+    from stm32f4_sdr_gps_tpu.signal.simulator import inject_fault
+    from stm32f4_sdr_gps_tpu.config import TrackConfig
+
+    sat = SimSat(prn=6, doppler_hz=-700.0, code_phase_chips=512.0,
+                 cn0_dbhz=46.0)
+    E = 2000
+    x, truth = simulate_capture([sat], num_epochs=E, seed=8)
+    x = inject_fault(x, start_ms=900.0, duration_ms=60.0, mode="noise",
+                     seed=1)
+    st = init_state(1, np.array([512.1]), np.array([-690.0]))
+    st, outs = track_block(
+        st, jnp.asarray(x.reshape(E, 2046)),
+        jnp.asarray(ca_table_bipolar([6])), PLAN, TrackConfig(),
+    )
+    dop = np.asarray(outs.doppler_hz)[:, 0]
+    cp = np.asarray(outs.code_phase_chips)[:, 0]
+    assert abs(np.mean(dop[-200:]) + 700.0) < 10.0
+    err = _phase_err(cp[-1], truth.code_phase_at_epoch(0, E - 1))
+    assert abs(err) < 0.3
