@@ -210,6 +210,10 @@ class ReceiverConfig:
     enable_position: bool = True      # ENABLE_CALC_POSITION (config.h:33)
     enable_rtcm: bool = False         # ENABLE_RTCM_SEND (config.h:30)
     track_block_epochs: int = 100     # epochs per jitted tracking scan call
+    # Background re-acquisition of not-yet-detected PRNs during
+    # streaming (late-rising satellites); 0 disables.  The firmware's
+    # channel set is fixed at compile time.
+    reacquire_period_ms: int = 0
 
     def replace(self, **kw) -> "ReceiverConfig":
         return dataclasses.replace(self, **kw)

@@ -37,7 +37,7 @@ from ..pvt.solve import Solution, pntpos
 from ..signal.ca_code import ca_table_bipolar
 from ..track.pretrack import refine_code_phase
 from ..track.scan import track_block
-from ..track.state import TrackState, init_state
+from ..track.state import TrackState, concat_states, init_state
 
 
 @dataclass
@@ -106,8 +106,10 @@ class Receiver:
         self.solutions: List[Solution] = []
         self.solution_epochs: List[int] = []
         self.rtcm_frames: List[bytes] = []
+        self.standby_channels: List[ChannelStatus] = []
         self._last_solve_ms = 0
         self._last_rtcm_ms = 0
+        self._last_reacq_ms = 0
         self._status_cb = None
 
     # -- stages -----------------------------------------------------------
@@ -141,6 +143,9 @@ class Receiver:
         if not live:
             raise RuntimeError("no channels acquired")
         prns = [ch.prn for ch in live]
+        self.standby_channels = [
+            ch for ch in self.channels if ch not in live
+        ]
         self.channels = live
         table_np = ca_table_bipolar(prns)
         phases = np.array([ch.acq.code_phase_chips for ch in live])
@@ -323,6 +328,102 @@ class Receiver:
             self.solutions.append(sol)
             self.solution_epochs.append(meas_epoch_ms)
 
+    def maybe_reacquire(self, recent_samples: np.ndarray) -> List[int]:
+        """Background acquisition of standby PRNs on recent samples;
+        detections join the live tracking state (late-rising satellites
+        — the firmware's channel set is fixed at flash time).
+
+        ``recent_samples`` must end at the current epoch cursor.  Returns
+        the PRNs added.
+        """
+        cfg = self.config
+        if not self.standby_channels:
+            return []
+        spe = cfg.plan.samples_per_epoch
+        need = max(cfg.acq.noncoherent_epochs,
+                   cfg.track.pre_track_epochs) * spe
+        if len(recent_samples) < need:
+            return []
+        window = recent_samples[-need:]
+        prns = [ch.prn for ch in self.standby_channels]
+        results = acquire(window, prns, cfg.plan, cfg.acq)
+        hits = [
+            (ch, res)
+            for ch, res in zip(self.standby_channels, results)
+            if res.detected
+        ]
+        if not hits:
+            return []
+        from ..acquire.engine import refine_doppler
+
+        new_prns = [ch.prn for ch, _ in hits]
+        table_new = ca_table_bipolar(new_prns)
+        dopplers = np.array([
+            refine_doppler(window, ch.prn, res.code_phase_chips,
+                           res.doppler_hz, cfg.plan)
+            for ch, res in hits
+        ])
+        phases = refine_code_phase(
+            window,
+            table_new,
+            np.array([res.code_phase_chips for _, res in hits]),
+            dopplers, cfg.plan, cfg.track,
+        )
+        # the acquisition window ended at the cursor; the refined code
+        # phase refers to the window start — advance to the cursor
+        win_epochs = need // spe
+        adv = (win_epochs * spe * cfg.plan.chips_per_sample
+               * (1.0 + dopplers / 1.57542e9))
+        phases = (phases + adv) % 1023.0
+        new_state = init_state(len(hits), phases, dopplers,
+                               start_epoch=self.epoch_cursor)
+        self.track_state = concat_states(self.track_state, new_state)
+        self.code_table = jnp.concatenate(
+            [self.code_table, jnp.asarray(table_new)], axis=0
+        )
+        for ch, res in hits:
+            ch.acq = res
+            ch.state_name = "TRACKING"
+            self.channels.append(ch)
+            self.standby_channels.remove(ch)
+        return new_prns
+
+    def drop_dead_channels(self, cn0_floor_dbhz: float = 25.0) -> List[int]:
+        """Demote channels whose C/N0 collapsed (signal set/blocked) to
+        standby, removing them from the live tracking state.  They
+        become candidates for background re-acquisition.  The firmware
+        keeps tracking garbage forever (its false-lock watchdog only
+        kicks the carrier, tracking.c:306-326).
+        """
+        import jax
+
+        dead = [c for c, ch in enumerate(self.channels)
+                if 0.0 < ch.cn0_dbhz < cn0_floor_dbhz
+                or (ch.cn0_dbhz == 0.0 and ch.snr_db < 1.0
+                    and ch.bit_count == 0 and self.epoch_cursor > 1000)]
+        if not dead:
+            return []
+        keep = np.array(
+            [c for c in range(len(self.channels)) if c not in dead],
+            dtype=np.int32,
+        )
+        if len(keep) == 0:
+            return []          # never drop the last channels
+        keep_j = jnp.asarray(keep)
+        self.track_state = jax.tree.map(
+            lambda x: x[keep_j], self.track_state
+        )
+        self.code_table = self.code_table[keep_j]
+        dropped = []
+        for c in sorted(dead, reverse=True):
+            ch = self.channels.pop(c)
+            ch.state_name = "LOST"
+            ch.framer = NavFramer()
+            ch.subframe_time_ms = 0
+            self.standby_channels.append(ch)
+            dropped.append(ch.prn)
+        return dropped
+
     def _emit_rtcm(self, meas_epoch_ms: int) -> None:
         """Queue RTCM3 frames: eph 1019 for newly complete ephemerides
         (mask cleared after send, gps_master.c:441-446) + MSM5 obs."""
@@ -402,6 +503,15 @@ class Receiver:
                 break
             self.process_block(chunk)
             pos += (len(chunk) // spe) * spe
+            if (
+                cfg.reacquire_period_ms
+                and self.epoch_cursor - self._last_reacq_ms
+                >= cfg.reacquire_period_ms
+            ):
+                self._last_reacq_ms = self.epoch_cursor
+                self.drop_dead_channels()
+                if self.standby_channels:
+                    self.maybe_reacquire(samples[:pos])
             if status_callback is not None:
                 status_callback(self)
         return ReceiverReport(

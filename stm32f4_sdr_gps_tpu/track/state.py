@@ -77,6 +77,16 @@ class TrackOutputs(NamedTuple):
     code_wrapped: jnp.ndarray  # bool: code phase wrapped this epoch
 
 
+def concat_states(a: TrackState, b: TrackState) -> TrackState:
+    """Concatenate two channel batches (late-rising satellite handoff:
+    new channels join the live scan state along the channel axis)."""
+    import jax
+
+    return jax.tree.map(
+        lambda x, y: jnp.concatenate([x, y], axis=0), a, b
+    )
+
+
 def init_state(
     num_channels: int,
     code_phase_chips: np.ndarray,
