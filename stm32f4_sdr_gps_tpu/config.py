@@ -214,6 +214,9 @@ class ReceiverConfig:
     # streaming (late-rising satellites); 0 disables.  The firmware's
     # channel set is fixed at compile time.
     reacquire_period_ms: int = 0
+    # RAIM residual screening threshold (m); 0 disables (needs >= 6
+    # satellites for fault identification).
+    raim_threshold_m: float = 0.0
 
     def replace(self, **kw) -> "ReceiverConfig":
         return dataclasses.replace(self, **kw)

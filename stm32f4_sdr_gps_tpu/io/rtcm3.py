@@ -186,6 +186,7 @@ class MsmObs:
     doppler_hz: float = 0.0
     cn0_dbhz: float = 40.0
     lock_time_s: float = 0.0
+    phaserange_m: float = 0.0   # carrier phaserange (0 = not available)
 
 
 _L1_WAVELENGTH = CLIGHT / 1.57542e9
@@ -249,8 +250,15 @@ def encode_msm(msg_type: int, tow_s: float, obs: List[MsmObs],
     for u, rng in zip(rough_units, ranges_ms):
         fine = rng - u / 1024.0                    # ms
         w.set_s(int(round(fine / 2.0 ** -24)), 15)
-    for o, rng in zip(obs, ranges_ms):
-        w.set_s(0, 22)                             # fine phaserange (unused)
+    for o, u in zip(obs, rough_units):
+        if o.phaserange_m:
+            fine_ph = o.phaserange_m / RANGE_MS - u / 1024.0   # ms
+            q = int(round(fine_ph / 2.0 ** -29))
+            # DF401 range: clamp instead of wrapping
+            q = max(min(q, (1 << 21) - 1), -(1 << 21))
+            w.set_s(q, 22)
+        else:
+            w.set_s(-(1 << 21), 22)                # invalid marker
     for o in obs:
         w.set_u(_lock_indicator(o.lock_time_s), 4)
     for o in obs:
@@ -292,7 +300,7 @@ def decode_msm(payload: bytes) -> dict:
     rough_fine = [r.get_u(10) for _ in sats]
     rates = [r.get_s(14) for _ in sats] if msm5 else [0] * len(sats)
     fine = [r.get_s(15) for _ in range(ncell)]
-    _phase = [r.get_s(22) for _ in range(ncell)]
+    phase = [r.get_s(22) for _ in range(ncell)]
     locks = [r.get_u(4) for _ in range(ncell)]
     _half = [r.get_u(1) for _ in range(ncell)]
     cnr = [r.get_u(6) for _ in range(ncell)]
@@ -301,9 +309,14 @@ def decode_msm(payload: bytes) -> dict:
     for i, sat in enumerate(sats):
         rng_ms = rough_int[i] + rough_fine[i] / 1024.0 + fine[i] * 2.0 ** -24
         rate = rates[i] + fine_rate[i] * 1e-4
+        ph_m = 0.0
+        if phase[i] != -(1 << 21):
+            ph_m = (rough_int[i] + rough_fine[i] / 1024.0
+                    + phase[i] * 2.0 ** -29) * RANGE_MS
         obs.append(
             dict(sat=sat, pseudorange_m=rng_ms * RANGE_MS,
-                 range_rate_ms=rate, cn0_dbhz=cnr[i], lock=locks[i])
+                 range_rate_ms=rate, cn0_dbhz=cnr[i], lock=locks[i],
+                 phaserange_m=ph_m)
         )
     out["obs"] = obs
     return out

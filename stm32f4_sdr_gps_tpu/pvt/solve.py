@@ -63,6 +63,7 @@ class Solution:
     iterations: int = 0
     vel: Optional[np.ndarray] = None       # ECEF velocity, m/s
     dtr_drift_s: float = 0.0               # clock drift, s/s
+    excluded_sat: Optional[int] = None     # RAIM-excluded PRN, if any
 
 
 def ecef2pos(r):
@@ -254,15 +255,55 @@ def solve_velocity(obs_list, rs, sol: Solution) -> bool:
 
 
 def pntpos(obs_list: List[Obs], eph_map: Dict[int, object],
-           x0=None, ion_params=None) -> Solution:
+           x0=None, ion_params=None, raim_threshold_m: float = 0.0
+           ) -> Solution:
     """Single-point position from pseudoranges (pntpos, solving.c:153-181):
-    satposs -> estpos."""
+    satposs -> estpos.
+
+    ``raim_threshold_m`` > 0 enables receiver-autonomous integrity
+    monitoring when there is redundancy (>= 5 satellites): if the
+    post-fit residual RMS exceeds the threshold, each satellite is
+    excluded in turn and the subset with the smallest residuals wins
+    (the capability class of the firmware's commented-out ``valsol``,
+    solving.c:436-439).
+    """
     if not obs_list:
         return Solution()
     rs, dts, var, svh, ok = satposs(obs_list[0].time, obs_list, eph_map)
     if not ok.all():
         return Solution()
     sol = estpos(obs_list, rs, dts, var, svh, eph_map, x0, ion_params)
+
+    if (
+        raim_threshold_m > 0.0
+        and sol.ok
+        and len(obs_list) >= 5
+        and sol.residuals is not None
+        and float(np.sqrt(np.mean(sol.residuals**2))) > raim_threshold_m
+    ):
+        best = None
+        best_rms = float(np.sqrt(np.mean(sol.residuals**2)))
+        excluded = None
+        for skip in range(len(obs_list)):
+            subset = [o for i, o in enumerate(obs_list) if i != skip]
+            rs_s = np.delete(rs, skip, axis=0)
+            dts_s = np.delete(dts, skip, axis=0)
+            var_s = np.delete(var, skip, axis=0)
+            svh_s = np.delete(svh, skip, axis=0)
+            cand = estpos(subset, rs_s, dts_s, var_s, svh_s, eph_map,
+                          x0, ion_params)
+            if not cand.ok or cand.residuals is None:
+                continue
+            rms = float(np.sqrt(np.mean(cand.residuals**2)))
+            if rms < best_rms:
+                best, best_rms, excluded = cand, rms, skip
+        if best is not None and best_rms <= raim_threshold_m:
+            best.excluded_sat = obs_list[excluded].sat
+            sol = best
+            obs_list = [o for i, o in enumerate(obs_list)
+                        if i != excluded]
+            rs = np.delete(rs, excluded, axis=0)
+
     if sol.ok and any(o.D != 0.0 for o in obs_list):
         solve_velocity(obs_list, rs, sol)
     return sol

@@ -58,6 +58,7 @@ class ChannelStatus:
     snr_db: float = 0.0
     cn0_dbhz: float = 0.0
     carrier_cycles: float = 0.0   # integrated Doppler (L observable)
+    rtcm_phase_align_m: float = 0.0   # phaserange = align + lambda*L
     doppler_hz: float = 0.0
     code_phase_chips: float = 0.0
     state_name: str = "IDLE"
@@ -297,6 +298,7 @@ class Receiver:
         return float((seg[-1] + resid.mean()) % CODE_LENGTH)
 
     def _try_solve(self, meas_epoch_ms: int, code_phases) -> None:
+        cfg = self.config
         ready = [ch for ch in self.channels if ch.eph.has_full_set
                  and ch.subframe_time_ms > 0]
         if len(ready) < 4:
@@ -323,7 +325,8 @@ class Receiver:
             o.L = ch.carrier_cycles
         eph_map = {ch.prn: ch.eph for ch in ready}
         x0 = self.solutions[-1].rr if self.solutions else None
-        sol = pntpos(obs, eph_map, x0=x0)
+        sol = pntpos(obs, eph_map, x0=x0,
+                     raim_threshold_m=cfg.raim_threshold_m)
         if sol.ok:
             self.solutions.append(sol)
             self.solution_epochs.append(meas_epoch_ms)
@@ -449,11 +452,19 @@ class Receiver:
         obs = form_observations(chobs, meas_epoch_ms)
         if not obs:
             return
-        msm = [
-            MsmObs(sat=o.sat, pseudorange_m=o.P, doppler_hz=o.D,
-                   cn0_dbhz=max(o.snr + 30.0, 0.0))
-            for o in obs
-        ]
+        from ..pvt.observables import LAMBDA_L1_M
+
+        msm = []
+        for o, ch in zip(obs, ready):
+            # phaserange: ambiguity initialized so it aligns with the
+            # pseudorange at first emission, carrier-continuous after
+            if ch.rtcm_phase_align_m == 0.0:
+                ch.rtcm_phase_align_m = o.P - LAMBDA_L1_M * o.L
+            msm.append(MsmObs(
+                sat=o.sat, pseudorange_m=o.P, doppler_hz=o.D,
+                cn0_dbhz=max(o.snr + 30.0, 0.0),
+                phaserange_m=ch.rtcm_phase_align_m + LAMBDA_L1_M * o.L,
+            ))
         from ..pvt.gpstime import time2gpst
 
         tow_s, _ = time2gpst(obs[0].time)

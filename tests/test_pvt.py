@@ -221,3 +221,31 @@ def test_velocity_solution_static_receiver():
     assert sol.ok and sol.vel is not None
     assert np.linalg.norm(sol.vel) < 0.1, sol.vel
     assert sol.dtr_drift_s * CLIGHT == pytest.approx(drift_mps, abs=0.05)
+
+
+def test_raim_excludes_faulty_satellite():
+    """RAIM: with 6 satellites and one pseudorange biased by 500 m, the
+    faulty satellite is identified and excluded (fault identification
+    needs >= 6 — with 5, any exclusion leaves an exact fit)."""
+    rr_true = pos2ecef(np.array([np.radians(51.5), np.radians(-0.1), 80.0]))
+    obs_time = gpst2time(WEEK, TOE + 60.0)
+    geom = [(1.5, 4.65), (0.5, 0.52), (2.0, 3.62), (1.5, 3.62),
+            (1.0, 5.68), (1.0, 5.17)]
+    eph_map = {k: make_eph(k, M0=m0, OMG0=o0)
+               for k, (m0, o0) in enumerate(geom, start=1)}
+    obs = []
+    for k, eph in eph_map.items():
+        P = _forward_pseudorange(obs_time, eph, rr_true, 1e-4, eph_map)
+        obs.append(Obs(sat=k, time=obs_time, P=P))
+    obs[2].P += 500.0   # fault on PRN 3
+
+    sol_no_raim = pntpos(obs, eph_map)
+    assert sol_no_raim.ok
+    err_no = np.linalg.norm(sol_no_raim.rr - rr_true)
+    assert err_no > 100.0   # the fault leaks into the fix
+
+    sol = pntpos(obs, eph_map, raim_threshold_m=10.0)
+    assert sol.ok
+    assert sol.excluded_sat == 3
+    err = np.linalg.norm(sol.rr - rr_true)
+    assert err < 1.0, err

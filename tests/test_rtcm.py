@@ -111,3 +111,15 @@ def test_msm_rounding_carry_edge():
     assert got["obs"][0]["pseudorange_m"] == pytest.approx(
         obs[0].pseudorange_m, abs=0.05
     )
+
+
+def test_msm_phaserange_roundtrip():
+    obs = [MsmObs(sat=9, pseudorange_m=21_000_000.0, doppler_hz=500.0,
+                  phaserange_m=21_000_000.8)]
+    got = decode_msm(deframe(frame(encode_msm(1075, 100.0, obs))))
+    o = got["obs"][0]
+    assert o["phaserange_m"] == pytest.approx(21_000_000.8, abs=0.01)
+    # absent phaserange decodes as 0
+    obs2 = [MsmObs(sat=9, pseudorange_m=21_000_000.0)]
+    got2 = decode_msm(deframe(frame(encode_msm(1074, 100.0, obs2))))
+    assert got2["obs"][0]["phaserange_m"] == 0.0
