@@ -99,3 +99,7 @@ class MeshReceiver(Receiver):
         outs = self.tracker.process(samples[: n_epochs * spe])
         self._consume_outputs(outs, n_epochs)
         self.epoch_cursor += n_epochs
+        # alias for checkpointing (runtime.checkpoint reads track_state;
+        # restoring a MeshReceiver yields a plain Receiver — re-shard
+        # with StreamingTracker to resume on a mesh)
+        self.track_state = self.tracker.state

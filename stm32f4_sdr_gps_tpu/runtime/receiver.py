@@ -193,6 +193,8 @@ class Receiver:
         snr = np.asarray(outs.snr_db)
         dop = np.asarray(outs.doppler_hz)
         cp = np.asarray(outs.code_phase_chips)
+        ip = np.asarray(outs.ip)
+        qp = np.asarray(outs.qp)
 
         for c, ch in enumerate(self.channels):
             events = np.nonzero(bit_ready[:, c])[0]
@@ -201,7 +203,7 @@ class Receiver:
                 for sf in ch.framer.push_bit(
                     int(bit_value[t, c]), int(bit_epoch[t, c])
                 ):
-                    sf_id = decode_subframe(sf.bits, ch.eph)
+                    decode_subframe(sf.bits, ch.eph)
                     ch.eph.sat = ch.prn
                     ch.subframe_count += 1
                     # boundary the HOW TOW labels = subframe start + 6 s
@@ -220,10 +222,7 @@ class Receiver:
             # its predecessor)
             br_c = bit_ready[:, c]
             clean = ~(br_c | np.roll(br_c, -1))
-            ch.cn0_dbhz = _m2m4_cn0(
-                np.asarray(outs.ip)[clean, c],
-                np.asarray(outs.qp)[clean, c],
-            )
+            ch.cn0_dbhz = _m2m4_cn0(ip[clean, c], qp[clean, c])
             ch.doppler_hz = float(dop[-1, c])
             # integrated Doppler = carrier-phase observable (cycles);
             # float64 host accumulation avoids f32 drift
