@@ -157,6 +157,18 @@ class TrackConfig:
     bit_sync_up: int = 8              # sync declared above this count
     bit_sync_down: int = 3            # sync lost below this count
     bit_sync_max: int = 10
+    # Grid-locked coherent bit extraction.  The firmware's bit sync
+    # (nav_data.c:46-138) rebases the bit boundary on EVERY prompt sign
+    # flip, so at low C/N0 noise flips fragment bits (a window never
+    # even contains mixed signs — majority voting is vacuous there).
+    # With this flag, once period sync is declared the bit grid is
+    # frozen (flips no longer rebase the boundary or feed the sync
+    # counters) and each bit is decided by the sign of the coherent
+    # prompt-I sum over the full bit — the entire 20 ms integration
+    # gain reaches the decision.  Sync recovery from a genuine slip is
+    # then the job of the C/N0 watchdog / reacquisition, not the flip
+    # tracker.  Off by default for firmware-parity bit streams.
+    coherent_bit_vote: bool = False
     codes_in_bit: int = CODES_IN_BIT  # C/A periods per nav bit (20; test
     #                                   configs may compress time)
     # Pre-track refinement zone, half-chips (tracking.c:17)

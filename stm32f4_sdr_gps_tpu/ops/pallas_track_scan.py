@@ -27,7 +27,9 @@ diff is auditable:
   in-scan watchdog matters;
 * all channels share one global epoch counter (``start_epoch + t``);
   the production state carries per-channel ``epoch_idx``, which only
-  diverges after a late-rise concat.
+  diverges after a late-rise concat;
+* bit decisions are majority-vote only (``cfg.coherent_bit_vote`` is
+  not implemented in-kernel yet).
 
 Validated against track_block in interpreter mode
 (tests/test_pallas_scan.py, including exact integer bit-sync

@@ -222,6 +222,10 @@ def track_epoch_step(
     cib = cfg.codes_in_bit
     epoch = state.epoch_idx
     sign_flip = ip_sign != state.prev_ip_sign
+    if cfg.coherent_bit_vote:
+        # grid-locked mode: once synced, flips neither rebase the
+        # boundary nor feed the sync counters (see config docstring)
+        sign_flip = sign_flip & ~state.period_sync_ok
     diff = epoch - state.last_swap_epoch
     rem_at_flip = jnp.mod(diff, cib)
     on_grid = (rem_at_flip <= 1) | (rem_at_flip == cib - 1)
@@ -245,10 +249,15 @@ def track_epoch_step(
     )
     last_swap = jnp.where(sign_flip, epoch, state.last_swap_epoch)
 
-    # bit extraction: 20 ms majority vote (nav_data.c:223-253)
+    # bit extraction: 20 ms majority vote (nav_data.c:223-253), or the
+    # sign of the coherent prompt-I sum over the bit (coherent_bit_vote
+    # — the full bit-length integration gain reaches the decision)
     remainder = jnp.mod(epoch - last_swap, cib).astype(jnp.int32)
     bit_boundary = sync_ok & (remainder < state.old_remainder)
-    bit_value = (state.bit_pos_cnt > state.bit_neg_cnt).astype(jnp.int8)
+    if cfg.coherent_bit_vote:
+        bit_value = (state.bit_ip_sum > 0).astype(jnp.int8)
+    else:
+        bit_value = (state.bit_pos_cnt > state.bit_neg_cnt).astype(jnp.int8)
     votes = state.bit_pos_cnt + state.bit_neg_cnt
     bit_ready = bit_boundary & (votes > 0)
     bit_epoch = epoch - votes  # epoch at which the completed bit started
@@ -256,6 +265,8 @@ def track_epoch_step(
     neg_cnt = jnp.where(bit_boundary, 0, state.bit_neg_cnt)
     pos_cnt = jnp.where(sync_ok & (ip > 0), pos_cnt + 1, pos_cnt)
     neg_cnt = jnp.where(sync_ok & (ip <= 0), neg_cnt + 1, neg_cnt)
+    ip_sum = jnp.where(bit_boundary, 0.0, state.bit_ip_sum)
+    ip_sum = jnp.where(sync_ok, ip_sum + ip, ip_sum)
 
     new_state = TrackState(
         carrier_phase_cycles=carrier_phase,
@@ -281,6 +292,7 @@ def track_epoch_step(
         old_remainder=remainder,
         bit_pos_cnt=pos_cnt,
         bit_neg_cnt=neg_cnt,
+        bit_ip_sum=ip_sum,
         epoch_idx=epoch + 1,
         code_wraps=state.code_wraps + code_wrapped.astype(jnp.int32),
     )

@@ -49,6 +49,8 @@ class TrackState(NamedTuple):
     old_remainder: jnp.ndarray            # i32
     bit_pos_cnt: jnp.ndarray              # i32
     bit_neg_cnt: jnp.ndarray              # i32
+    bit_ip_sum: jnp.ndarray               # f32 coherent prompt-I sum over
+    #                                       the current bit (coherent_bit_vote)
     # Ledger
     epoch_idx: jnp.ndarray                # i32, global epoch counter
     code_wraps: jnp.ndarray               # i32, net code-phase wraps (swap flag ledger)
@@ -120,6 +122,7 @@ def init_state(
         old_remainder=i32z,
         bit_pos_cnt=i32z,
         bit_neg_cnt=i32z,
+        bit_ip_sum=jnp.zeros((c,), jnp.float32),
         epoch_idx=jnp.full((c,), start_epoch, jnp.int32),
         code_wraps=i32z,
     )
