@@ -169,6 +169,30 @@ class TrackConfig:
     # then the job of the C/N0 watchdog / reacquisition, not the flip
     # tracker.  Off by default for firmware-parity bit streams.
     coherent_bit_vote: bool = False
+    # 20 ms coherent PLL: once period sync is declared, the Costas loop
+    # closes on the coherent prompt sums over each whole nav bit (one
+    # update per bit at the boundary, per-epoch PLL/FLL frozen) —
+    # +10*log10(codes_in_bit) dB of discriminator SNR, extending phase
+    # hold far below the per-epoch floor.  This is the firmware's own
+    # design cadence: it closes its PLL once per 17 ms superframe slot
+    # (tracking.c:175-209), so the narrow gains apply at ~full scale.
+    # Implies the grid-locked bit extraction above.  The per-epoch
+    # false-lock watchdog is frozen while synced (its sign-transition
+    # statistic is meaningless at the C/N0 this mode targets).
+    #
+    # The per-bit gains are a proper discrete design for the 50 Hz
+    # update rate (NOT the firmware constants, which assume per-epoch
+    # discriminators): with the discriminator in half-cycles,
+    # c1 = zeta*omega_n, c2 = omega_n^2/2.  Default omega_n = 6 rad/s,
+    # zeta = 0.9 — measured best from a bandwidth sweep at 25-32 dBHz
+    # (0/1499 bit errors at 28 dBHz, 27/1499 at 26; wider settings slip
+    # half-cycles).  Steady-state lag at the GPS-orbit worst-case
+    # 0.5 Hz/s Doppler rate is 0.014 cycles — narrow is safe for a
+    # terrestrial receiver.
+    coherent_pll: bool = False
+    pll_bit_c1: float = 5.4
+    pll_bit_c2: float = 18.0
+    pll_bit_scale: float = 1.0        # gain scale for the per-bit update
     codes_in_bit: int = CODES_IN_BIT  # C/A periods per nav bit (20; test
     #                                   configs may compress time)
     # Pre-track refinement zone, half-chips (tracking.c:17)
@@ -203,6 +227,13 @@ WEAK_SIGNAL_TRACK = TrackConfig(
     dll_c2=75.0,
     snr_window_epochs=1000,
 )
+
+#: 20 ms coherent tracking: once bit sync is achieved the Costas loop
+#: closes on whole-bit coherent sums (TrackConfig.coherent_pll), holding
+#: phase and decoding nav data down to ~26-28 dBHz (measured: 0/1499
+#: bit errors at 28, 27/1499 at 26; stock path needs ~42).  Bit sync
+#: itself still needs a stronger window or an aided boundary.
+COHERENT_TRACK = TrackConfig(coherent_pll=True)
 
 
 @dataclass(frozen=True)

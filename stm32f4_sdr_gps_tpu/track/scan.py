@@ -168,6 +168,34 @@ def track_epoch_step(
         0.0,
     )
 
+    # ---- 20 ms coherent PLL (coherent_pll) -------------------------------
+    # Once synced, close the Costas loop on the coherent prompt sums of
+    # each completed bit instead of per-epoch prompts: the grid is
+    # frozen (sign_flip masked below), so the bit boundary is derivable
+    # from the un-rebased swap epoch.
+    phase_err_store = phase_err
+    if cfg.coherent_pll:
+        in_sync = state.period_sync_ok
+        rem_now = jnp.mod(
+            state.epoch_idx - state.last_swap_epoch, cfg.codes_in_bit
+        )
+        bit_done = in_sync & (rem_now < state.old_remainder)
+        perr_bit = _costas_phase_err(state.bit_ip_sum, state.bit_qp_sum)
+        dt_bit = cfg.codes_in_bit * cfg.dt_s
+        pll_delta_bit = (
+            cfg.pll_bit_c1 * _wrap_half(perr_bit - state.pll_err_prev)
+            + cfg.pll_bit_c2 * dt_bit * perr_bit
+        ) * jnp.float32(cfg.pll_bit_scale)
+        pll_delta = jnp.where(
+            in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
+        )
+        fll_delta = jnp.where(in_sync, 0.0, fll_delta)
+        phase_err_store = jnp.where(
+            in_sync,
+            jnp.where(bit_done, perr_bit, state.pll_err_prev),
+            phase_err,
+        )
+
     new_doppler = state.doppler_hz + pll_delta + fll_delta
 
     # ---- false-lock watchdog (tracking.c:261-327) -----------------------
@@ -196,6 +224,13 @@ def track_epoch_step(
         state.pll_bad_master_cnt + 1,
         jnp.where(window_end & (bad_cnt == 0), 0, state.pll_bad_master_cnt),
     )
+    if cfg.coherent_pll:
+        # the per-epoch sign-transition statistic is meaningless at the
+        # C/N0 this mode targets — freeze the watchdog while synced
+        hold = state.period_sync_ok
+        win = jnp.where(hold[:, None], state.ip_sign_window, win)
+        bad_cnt = jnp.where(hold, state.pll_bad_cnt, bad_cnt)
+        master = jnp.where(hold, state.pll_bad_master_cnt, master)
     kick = master > cfg.pll_bad_state_threshold
     rand = _lcg_uniform(state.epoch_idx * 37 + jnp.arange(ip.shape[0]))
     kick_target = state.acq_doppler_hz + (rand - 0.5) * 500.0
@@ -222,7 +257,7 @@ def track_epoch_step(
     cib = cfg.codes_in_bit
     epoch = state.epoch_idx
     sign_flip = ip_sign != state.prev_ip_sign
-    if cfg.coherent_bit_vote:
+    if cfg.coherent_bit_vote or cfg.coherent_pll:
         # grid-locked mode: once synced, flips neither rebase the
         # boundary nor feed the sync counters (see config docstring)
         sign_flip = sign_flip & ~state.period_sync_ok
@@ -254,7 +289,7 @@ def track_epoch_step(
     # — the full bit-length integration gain reaches the decision)
     remainder = jnp.mod(epoch - last_swap, cib).astype(jnp.int32)
     bit_boundary = sync_ok & (remainder < state.old_remainder)
-    if cfg.coherent_bit_vote:
+    if cfg.coherent_bit_vote or cfg.coherent_pll:
         bit_value = (state.bit_ip_sum > 0).astype(jnp.int8)
     else:
         bit_value = (state.bit_pos_cnt > state.bit_neg_cnt).astype(jnp.int8)
@@ -267,13 +302,15 @@ def track_epoch_step(
     neg_cnt = jnp.where(sync_ok & (ip <= 0), neg_cnt + 1, neg_cnt)
     ip_sum = jnp.where(bit_boundary, 0.0, state.bit_ip_sum)
     ip_sum = jnp.where(sync_ok, ip_sum + ip, ip_sum)
+    qp_sum = jnp.where(bit_boundary, 0.0, state.bit_qp_sum)
+    qp_sum = jnp.where(sync_ok, qp_sum + qp, qp_sum)
 
     new_state = TrackState(
         carrier_phase_cycles=carrier_phase,
         doppler_hz=new_doppler,
         code_phase_chips=wrapped_phase,
         dll_err_prev=code_err,
-        pll_err_prev=phase_err,
+        pll_err_prev=phase_err_store,
         fll_theta_prev=theta,
         fll_err_prev=freq_diff,
         fll_primed=jnp.ones_like(state.fll_primed),
@@ -293,6 +330,7 @@ def track_epoch_step(
         bit_pos_cnt=pos_cnt,
         bit_neg_cnt=neg_cnt,
         bit_ip_sum=ip_sum,
+        bit_qp_sum=qp_sum,
         epoch_idx=epoch + 1,
         code_wraps=state.code_wraps + code_wrapped.astype(jnp.int32),
     )

@@ -51,6 +51,8 @@ class TrackState(NamedTuple):
     bit_neg_cnt: jnp.ndarray              # i32
     bit_ip_sum: jnp.ndarray               # f32 coherent prompt-I sum over
     #                                       the current bit (coherent_bit_vote)
+    bit_qp_sum: jnp.ndarray               # f32 coherent prompt-Q sum
+    #                                       (coherent_pll discriminator)
     # Ledger
     epoch_idx: jnp.ndarray                # i32, global epoch counter
     code_wraps: jnp.ndarray               # i32, net code-phase wraps (swap flag ledger)
@@ -123,6 +125,7 @@ def init_state(
         bit_pos_cnt=i32z,
         bit_neg_cnt=i32z,
         bit_ip_sum=jnp.zeros((c,), jnp.float32),
+        bit_qp_sum=jnp.zeros((c,), jnp.float32),
         epoch_idx=jnp.full((c,), start_epoch, jnp.int32),
         code_wraps=i32z,
     )
