@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN
+from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN, FREQ_L1_HZ
 from ..ops.correlate import (
     code_fft_conj,
     fft_circular_correlate,
@@ -224,25 +224,32 @@ def refine_doppler(
     s = plan.samples_per_epoch
     e = min(num_epochs, len(samples) // s)
     epochs = jnp.asarray(samples[: e * s].reshape(e, s), jnp.complex64)
-    # prompt replica at the acquired phase (epoch-invariant: one code
-    # period per epoch)
-    reps = sample_replicas(
-        jnp.asarray(ca_table_bipolar([prn])),
-        jnp.asarray([code_phase_chips], jnp.float32),
-        jnp.full((1,), plan.chips_per_sample, jnp.float32),
-        s,
-        (0.0,),
-    )[0, 0]
+    # prompt replica, code rate carrier-aided so the replica does not
+    # walk off the signal over long spans (code Doppler = carrier
+    # Doppler / 1540: ~0.8 chips/s at 1.2 kHz)
+    code_rate = jnp.float32(
+        plan.chips_per_sample * (1.0 + coarse_doppler_hz / FREQ_L1_HZ)
+    )
+    chips_per_epoch = float(code_rate) * s
 
-    def per_epoch(phase, x):
+    def per_epoch(carry, x):
+        phase, cp = carry
+        reps = sample_replicas(
+            jnp.asarray(ca_table_bipolar([prn])),
+            cp[None], code_rate[None], s, (0.0,),
+        )[0, 0]
         y, phase = carrier_wipeoff(
             x, jnp.asarray([coarse_doppler_hz], jnp.float32), phase,
             plan.sample_rate_hz,
         )
-        return phase, jnp.sum(y[0] * reps)
+        return (phase, jnp.mod(cp + chips_per_epoch,
+                               jnp.float32(1023.0))), jnp.sum(y[0] * reps)
 
     _, prompts = jax.lax.scan(
-        per_epoch, jnp.zeros((1,), jnp.float32), epochs
+        per_epoch,
+        (jnp.zeros((1,), jnp.float32),
+         jnp.float32(code_phase_chips)),
+        epochs,
     )
     # squaring strips the BPSK nav bits; the squared tone sits at 2*df
     pad = 8 * e

@@ -232,8 +232,20 @@ WEAK_SIGNAL_TRACK = TrackConfig(
 #: closes on whole-bit coherent sums (TrackConfig.coherent_pll), holding
 #: phase and decoding nav data down to ~26-28 dBHz (measured: 0/1499
 #: bit errors at 28, 27/1499 at 26; stock path needs ~42).  Bit sync
-#: itself still needs a stronger window or an aided boundary.
-COHERENT_TRACK = TrackConfig(coherent_pll=True)
+#: below ~36 dBHz comes from the aided histogram search
+#: (track.aided_sync, auto-engaged by the Receiver).  The longer
+#: pre-track window keeps the code-phase handoff reliable at 30 dBHz
+#: (20 epochs occasionally picks a noise bin in the +/-7.5 chip zone).
+#: The gentle per-epoch scales only matter BEFORE sync (the per-epoch
+#: loop freezes once the coherent loop engages): they slow the Costas
+#: random-walk away from the refine_doppler anchor at low C/N0, so the
+#: first aided-sync window is clean.
+COHERENT_TRACK = TrackConfig(
+    coherent_pll=True,
+    pre_track_epochs=100,
+    pll_scale=1.0 / 16,
+    fll_scale=1.0 / 16,
+)
 
 
 @dataclass(frozen=True)
@@ -260,6 +272,21 @@ class ReceiverConfig:
     # RAIM residual screening threshold (m); 0 disables (needs >= 6
     # satellites for fault identification).
     raim_threshold_m: float = 0.0
+    # Aided bit sync (track.aided_sync): when the tracking config runs
+    # the coherent PLL, channels that have not bit-synced after this
+    # much prompt history get a histogram boundary search; confident
+    # detections are engaged directly.  0 disables.
+    aided_sync_window_ms: int = 4000
+    aided_sync_min_sigma: float = 5.0
+    # A synced channel that is genuinely tracking always shows bit
+    # structure in its prompt signs, so persistent low histogram
+    # confidence while synced means the grid or the carrier NCO is
+    # wrong (e.g. a random-walk excursion of the run-time counters
+    # declared sync on a bad boundary).  After this many consecutive
+    # low-confidence windows the channel is re-anchored (refine_doppler
+    # on raw samples) and de-synced so the next window can redo it.
+    aided_sync_unhealthy_sigma: float = 3.0
+    aided_sync_unhealthy_windows: int = 2
 
     def replace(self, **kw) -> "ReceiverConfig":
         return dataclasses.replace(self, **kw)

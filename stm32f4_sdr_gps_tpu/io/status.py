@@ -76,6 +76,16 @@ def _eph_utc_line(receiver) -> str:
     return f"EPH UTC  {dt.strftime('%Y-%m-%d %H:%M:%S')}"
 
 
+def _sync_marker(receiver, ch) -> str:
+    """Bit-sync column: '-' until period sync; then 'COH' when the
+    20 ms coherent PLL is engaged (TrackConfig.coherent_pll), 'BIT'
+    otherwise."""
+    if not getattr(ch, "bit_synced", False):
+        return "-"
+    coherent = getattr(receiver.config.track, "coherent_pll", False)
+    return "COH" if coherent else "BIT"
+
+
 def render_status(receiver, vt100: bool = False) -> str:
     """One status screen for a runtime.Receiver."""
     out = []
@@ -90,7 +100,7 @@ def render_status(receiver, vt100: bool = False) -> str:
         out.append(utc)
     out.append(
         f"{'PRN':>4} {'STATE':>10} {'SNR dB':>7} {'C/N0':>6} {'DOPP Hz':>9} "
-        f"{'CODE':>8} {'BITS':>6} {'SUBFR':>6}"
+        f"{'CODE':>8} {'BITS':>6} {'SUBFR':>6} {'SYNC':>5}"
     )
     for ch in receiver.channels:
         if ch.state_name == "TRACKING":
@@ -98,7 +108,8 @@ def render_status(receiver, vt100: bool = False) -> str:
                 f"{ch.prn:>4} {ch.state_name:>10} {ch.snr_db:7.1f} "
                 f"{getattr(ch, 'cn0_dbhz', 0.0):6.1f} "
                 f"{ch.doppler_hz:9.1f} {ch.code_phase_chips:8.2f} "
-                f"{ch.bit_count:6d} {ch.subframe_count:6d}"
+                f"{ch.bit_count:6d} {ch.subframe_count:6d} "
+                f"{_sync_marker(receiver, ch):>5}"
             )
         else:
             pct = ""

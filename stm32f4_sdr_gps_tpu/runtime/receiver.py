@@ -62,6 +62,8 @@ class ChannelStatus:
     doppler_hz: float = 0.0
     code_phase_chips: float = 0.0
     state_name: str = "IDLE"
+    bit_synced: bool = False      # period sync (coherent PLL engaged
+    #                               when cfg.track.coherent_pll)
 
 
 def _m2m4_cn0(ip: np.ndarray, qp: np.ndarray,
@@ -112,6 +114,9 @@ class Receiver:
         self._last_rtcm_ms = 0
         self._last_reacq_ms = 0
         self._status_cb = None
+        self._ip_hist: Optional[np.ndarray] = None
+        self._ip_hist_start = 0
+        self._aided_low_conf = np.zeros(0, int)
 
     # -- stages -----------------------------------------------------------
 
@@ -155,9 +160,13 @@ class Receiver:
         # tens of Hz to ~1 Hz
         from ..acquire.engine import refine_doppler
 
+        # weak-signal (coherent) mode needs a longer squared-prompt span
+        # to beat the squaring loss at ~30 dBHz
+        fine_epochs = 256 if cfg.track.coherent_pll else 32
         dopplers = np.array([
             refine_doppler(samples, ch.prn, ch.acq.code_phase_chips,
-                           ch.acq.doppler_hz, cfg.plan)
+                           ch.acq.doppler_hz, cfg.plan,
+                           num_epochs=fine_epochs)
             for ch in live
         ])
         refined = refine_code_phase(
@@ -182,7 +191,104 @@ class Receiver:
             self.track_state, epochs, self.code_table, cfg.plan, cfg.track
         )
         self._consume_outputs(outs, n_epochs)
+        self._maybe_aided_sync(outs, n_epochs,
+                               samples[: n_epochs * spe])
         self.epoch_cursor += n_epochs
+
+    def _maybe_aided_sync(self, outs, n_epochs: int,
+                          samples: np.ndarray) -> None:
+        """Histogram bit-boundary search + squared-prompt Doppler
+        re-anchor (track.aided_sync), evaluated every full prompt
+        window.  Handles the two failure modes the run-time counters
+        have at the C/N0 the coherent PLL targets: they may never
+        declare sync, or worse, a random-walk excursion declares sync
+        on a WRONG boundary which grid-locking would then freeze — a
+        confident histogram that disagrees overrides it."""
+        cfg = self.config
+        if not (cfg.track.coherent_pll and cfg.aided_sync_window_ms):
+            return
+        cib = cfg.track.codes_in_bit
+        prompts = np.asarray(outs.ip) + 1j * np.asarray(outs.qp)
+        if self._ip_hist is None:
+            self._ip_hist = prompts
+            self._ip_hist_start = self.epoch_cursor
+        else:
+            self._ip_hist = np.concatenate([self._ip_hist, prompts])
+        w = cfg.aided_sync_window_ms
+        if len(self._ip_hist) > w:
+            drop = len(self._ip_hist) - w
+            self._ip_hist = self._ip_hist[drop:]
+            self._ip_hist_start += drop
+        if len(self._ip_hist) < w:
+            return
+        from ..acquire.engine import refine_doppler
+        from ..track.aided_sync import engage_bit_sync, find_bit_boundary
+
+        sync_last = np.asarray(outs.period_sync_ok)[-1].astype(bool)
+        phases, confs = find_bit_boundary(
+            np.real(self._ip_hist), cib, self._ip_hist_start
+        )
+        grid_now = np.asarray(self.track_state.last_swap_epoch) % cib
+        confident = confs >= cfg.aided_sync_min_sigma
+        # a 1-epoch disagreement is within the split-edge ambiguity of
+        # the histogram — don't churn the grid over it
+        dist = np.minimum((phases - grid_now) % cib,
+                          (grid_now - phases) % cib)
+        wrong_grid = sync_last & (dist > 1)
+        engage = confident & (~sync_last | wrong_grid)
+
+        # Health check: a synced channel that is really tracking shows
+        # its bit boundary in the histogram.  Persistently low
+        # confidence while synced = wrong grid or carrier NCO (e.g. a
+        # random-walk excursion of the run-time counters declared sync
+        # on a bad boundary and grid-locking froze it) — de-sync it so
+        # the next confident window can redo the engagement.
+        n_chan = len(confs)
+        if len(self._aided_low_conf) != n_chan:
+            self._aided_low_conf = np.zeros(n_chan, int)
+        low = sync_last & (confs < cfg.aided_sync_unhealthy_sigma)
+        self._aided_low_conf = np.where(low, self._aided_low_conf + 1, 0)
+        unhealthy = (
+            self._aided_low_conf >= cfg.aided_sync_unhealthy_windows
+        ) & ~engage
+
+        if engage.any() or unhealthy.any():
+            # Re-anchor the carrier NCO from the RAW block samples: the
+            # pre-engage per-epoch loop wanders tens of Hz at low C/N0
+            # (beyond the coherent loop's pull range), and a tracking
+            # Costas keeps the prompts near the real axis, so only a
+            # code-wiped measurement can see the NCO's frequency error.
+            cp0 = np.asarray(outs.code_phase_chips)[0]
+            dops = np.asarray(self.track_state.doppler_hz)
+            new_dops = dops.copy()
+            for c, ch in enumerate(self.channels):
+                if c < n_chan and (engage[c] or unhealthy[c]):
+                    new_dops[c] = float(refine_doppler(
+                        samples, ch.prn, float(cp0[c]), float(dops[c]),
+                        cfg.plan,
+                        num_epochs=min(512, n_epochs),
+                    ))
+            if engage.any():
+                self.track_state = engage_bit_sync(
+                    self.track_state, phases,
+                    self.epoch_cursor + n_epochs, cib, engage,
+                )
+            if unhealthy.any():
+                un = jnp.asarray(unhealthy)
+                i32z = jnp.zeros_like(self.track_state.right_period_cnt)
+                self.track_state = self.track_state._replace(
+                    period_sync_ok=jnp.where(
+                        un, False, self.track_state.period_sync_ok),
+                    right_period_cnt=jnp.where(
+                        un, i32z, self.track_state.right_period_cnt),
+                )
+            self.track_state = self.track_state._replace(
+                doppler_hz=jnp.asarray(new_dops, jnp.float32)
+            )
+            acted = engage | unhealthy
+            self._aided_low_conf = np.where(
+                acted, 0, self._aided_low_conf)
+        self._ip_hist = None  # fresh window each evaluation
 
     def _consume_outputs(self, outs, n_epochs: int) -> None:
         """Host side: bits → framers → subframes → ephemeris; solve."""
@@ -217,6 +323,7 @@ class Receiver:
                     ch.subframe_time_ms = boundary
                     ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
             ch.snr_db = float(snr[-1, c])
+            ch.bit_synced = bool(np.asarray(outs.period_sync_ok)[-1, c])
             # exclude nav-bit-edge epochs (attenuated prompts corrupt
             # the moments; the edge sits at the bit boundary epoch and
             # its predecessor)

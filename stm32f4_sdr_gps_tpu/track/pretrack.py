@@ -60,8 +60,8 @@ def refine_code_phase(
     num_epochs: int | None = None,
 ) -> np.ndarray:
     """Return refined (C,) code phases (chips, sub-half-chip accurate)."""
-    e = num_epochs or cfg.pre_track_epochs
     s_cnt = plan.samples_per_epoch
+    e = min(num_epochs or cfg.pre_track_epochs, len(samples) // s_cnt)
     epochs = jnp.asarray(
         samples[: e * s_cnt].reshape(e, s_cnt), jnp.complex64
     )
