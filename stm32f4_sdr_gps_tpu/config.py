@@ -240,11 +240,19 @@ WEAK_SIGNAL_TRACK = TrackConfig(
 #: loop freezes once the coherent loop engages): they slow the Costas
 #: random-walk away from the refine_doppler anchor at low C/N0, so the
 #: first aided-sync window is clean.
+#: bit_sync_up above the counter clamp (10) disables the RUN-TIME sync
+#: declaration entirely: at the C/N0 this preset targets the flip
+#: counters reliably declare sync on noise excursions with grids many
+#: epochs off (observed: 9 epochs -> integer-ms pseudorange bias),
+#: while the receiver's aided histogram search finds the true boundary
+#: at >10 sigma within one window.  Sync comes only from
+#: Receiver._maybe_aided_sync / track.aided_sync.engage_bit_sync.
 COHERENT_TRACK = TrackConfig(
     coherent_pll=True,
     pre_track_epochs=100,
     pll_scale=1.0 / 16,
     fll_scale=1.0 / 16,
+    bit_sync_up=1_000_000,
 )
 
 
@@ -276,6 +284,10 @@ class ReceiverConfig:
     # the coherent PLL, channels that have not bit-synced after this
     # much prompt history get a histogram boundary search; confident
     # detections are engaged directly.  0 disables.
+    # 4 s windows: the FIRST window after handoff is the best one (the
+    # pre-sync loop's Doppler drift smears later windows), and at 4 s a
+    # clean 30 dBHz window clears the single-shot sigma bar, engaging
+    # before a cold start's first ephemeris subframe.
     aided_sync_window_ms: int = 4000
     aided_sync_min_sigma: float = 5.0
     # A synced channel that is genuinely tracking always shows bit
@@ -287,6 +299,15 @@ class ReceiverConfig:
     # on raw samples) and de-synced so the next window can redo it.
     aided_sync_unhealthy_sigma: float = 3.0
     aided_sync_unhealthy_windows: int = 2
+    # A single window can cross min_sigma on a noise cluster at a wrong
+    # phase near the sensitivity floor (observed at 31 dBHz: grids 3-4
+    # epochs off -> integer-ms pseudorange bias).  Engaging on a
+    # moderate-confidence phase therefore requires two consecutive
+    # windows agreeing within +/-1 epoch; a single window engages only
+    # above the high bar.  Grid OVERRIDES of an already-synced channel
+    # always require the two-window agreement.
+    aided_sync_repeat_sigma: float = 3.5
+    aided_sync_single_sigma: float = 6.0
 
     def replace(self, **kw) -> "ReceiverConfig":
         return dataclasses.replace(self, **kw)

@@ -93,6 +93,9 @@ class MeshReceiver(Receiver):
             ch.state_name = "TRACKING"
 
     def process_block(self, samples: np.ndarray) -> None:
+        # NOTE: the aided bit-sync evaluation (_maybe_aided_sync) is not
+        # wired into the mesh path yet — use the plain Receiver for the
+        # COHERENT_TRACK weak-signal chain (docs/ROADMAP.md §5).
         cfg = self.config
         spe = cfg.plan.samples_per_epoch
         n_epochs = len(samples) // spe

@@ -117,6 +117,8 @@ class Receiver:
         self._ip_hist: Optional[np.ndarray] = None
         self._ip_hist_start = 0
         self._aided_low_conf = np.zeros(0, int)
+        self._pending_phase = np.full(0, -1)
+        self._pending_cnt = np.zeros(0, int)
 
     # -- stages -----------------------------------------------------------
 
@@ -229,13 +231,32 @@ class Receiver:
             np.real(self._ip_hist), cib, self._ip_hist_start
         )
         grid_now = np.asarray(self.track_state.last_swap_epoch) % cib
-        confident = confs >= cfg.aided_sync_min_sigma
+        n_chan = len(confs)
+        if len(self._pending_phase) != n_chan:
+            self._pending_phase = np.full(n_chan, -1)
+            self._pending_cnt = np.zeros(n_chan, int)
+
+        # two-consecutive-window phase agreement (within the +/-1
+        # split-edge ambiguity)
+        usable = confs >= cfg.aided_sync_repeat_sigma
+        pdist = np.minimum((phases - self._pending_phase) % cib,
+                           (self._pending_phase - phases) % cib)
+        agree = usable & (self._pending_phase >= 0) & (pdist <= 1)
+        self._pending_cnt = np.where(
+            agree, self._pending_cnt + 1, np.where(usable, 1, 0))
+        self._pending_phase = np.where(usable, phases, -1)
+
+        repeated = self._pending_cnt >= 2
+        single_shot = confs >= cfg.aided_sync_single_sigma
         # a 1-epoch disagreement is within the split-edge ambiguity of
         # the histogram — don't churn the grid over it
         dist = np.minimum((phases - grid_now) % cib,
                           (grid_now - phases) % cib)
-        wrong_grid = sync_last & (dist > 1)
-        engage = confident & (~sync_last | wrong_grid)
+        wrong_grid = sync_last & (dist > 1) & repeated
+        fresh = ~sync_last & (
+            repeated | (single_shot & (confs >= cfg.aided_sync_min_sigma))
+        )
+        engage = fresh | wrong_grid
 
         # Health check: a synced channel that is really tracking shows
         # its bit boundary in the histogram.  Persistently low
@@ -243,7 +264,6 @@ class Receiver:
         # random-walk excursion of the run-time counters declared sync
         # on a bad boundary and grid-locking froze it) — de-sync it so
         # the next confident window can redo the engagement.
-        n_chan = len(confs)
         if len(self._aided_low_conf) != n_chan:
             self._aided_low_conf = np.zeros(n_chan, int)
         low = sync_last & (confs < cfg.aided_sync_unhealthy_sigma)
@@ -288,6 +308,8 @@ class Receiver:
             acted = engage | unhealthy
             self._aided_low_conf = np.where(
                 acted, 0, self._aided_low_conf)
+            self._pending_cnt = np.where(engage, 0, self._pending_cnt)
+            self._pending_phase = np.where(engage, -1, self._pending_phase)
         self._ip_hist = None  # fresh window each evaluation
 
     def _consume_outputs(self, outs, n_epochs: int) -> None:

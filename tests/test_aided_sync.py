@@ -99,5 +99,6 @@ def test_receiver_engages_aided_sync_at_30dbhz():
         rx.process_block(x[i:i + blk])
 
     assert ch.bit_synced, "aided sync never engaged"
-    assert ch.bit_count > 100
+    # bits flow only after the aided engagement (~3 s into the 8 s run)
+    assert ch.bit_count > 80
     assert bool(np.asarray(rx.track_state.period_sync_ok)[0])

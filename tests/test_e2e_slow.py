@@ -16,7 +16,11 @@ slow = pytest.mark.skipif(
     os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 to run"
 )
 
-from stm32f4_sdr_gps_tpu.config import ReceiverConfig
+from stm32f4_sdr_gps_tpu.config import (
+    COHERENT_TRACK,
+    DEEP_ACQ,
+    ReceiverConfig,
+)
 from stm32f4_sdr_gps_tpu.runtime.receiver import Receiver
 from stm32f4_sdr_gps_tpu.signal.scenarios import fix_scenario
 
@@ -39,3 +43,24 @@ def test_full_cold_start_to_fix():
     # Doppler tracking noise x GDOP)
     assert sol.vel is not None
     assert np.linalg.norm(sol.vel) < 10.0
+
+
+@slow
+def test_weak_signal_cold_start_to_fix_32dbhz():
+    """The full weak-signal chain at 32 dBHz: DEEP_ACQ acquisition ->
+    256-epoch fine Doppler + 100-epoch pre-track handoff -> aided
+    histogram bit sync -> 20 ms coherent PLL -> ephemeris decode ->
+    fix.  The stock/firmware path cannot decode nav data below
+    ~42 dBHz (see PARITY.md); measured floor for this chain is
+    ~30 dBHz (fix at 30/31/32 across seeds)."""
+    sc = fix_scenario(num_epochs=36_000, cn0_dbhz=32.0)
+    cfg = ReceiverConfig(prns=sc.prns, acq=DEEP_ACQ,
+                         track=COHERENT_TRACK, track_block_epochs=1000)
+    rx = Receiver(cfg)
+    report = rx.run(sc.samples)
+    for ch in report.channels:
+        assert ch.eph.has_full_set, ch.prn
+        assert ch.bit_synced
+    assert report.solutions, "no position fix obtained"
+    err = np.linalg.norm(report.solutions[-1].rr - sc.rr_true)
+    assert err < 500.0, f"position error {err:.1f} m"
