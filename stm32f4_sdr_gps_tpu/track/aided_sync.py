@@ -68,37 +68,6 @@ def find_bit_boundary(
     return phases, confs
 
 
-def prompt_doppler_residual(
-    prompts: np.ndarray,         # (T,) or (T, C) complex prompt history
-    dt_s: float = 1e-3,
-) -> np.ndarray:
-    """Residual carrier frequency (Hz) from the squared-prompt spectrum.
-
-    Squaring wipes the BPSK nav modulation, so the spectrum of
-    ``prompt**2`` peaks at twice the residual frequency (the same trick
-    acquire.engine.refine_doppler plays on raw samples).  Resolves the
-    tens-of-Hz wander a per-epoch Costas loop accumulates at low C/N0
-    down to well inside the coherent loop's pull range.
-    """
-    z = np.asarray(prompts, np.complex128)
-    if z.ndim == 1:
-        z = z[:, None]
-    t_cnt, c_cnt = z.shape
-    n_fft = 1 << int(np.ceil(np.log2(t_cnt * 4)))
-    spec = np.abs(np.fft.fft(z * z, n=n_fft, axis=0)) ** 2
-    freqs = np.fft.fftfreq(n_fft, d=dt_s)
-    out = np.zeros(c_cnt)
-    for c in range(c_cnt):
-        k = int(np.argmax(spec[:, c]))
-        km, kp = (k - 1) % n_fft, (k + 1) % n_fft
-        a, b, cc = spec[km, c], spec[k, c], spec[kp, c]
-        denom = a - 2 * b + cc
-        frac = 0.5 * (a - cc) / denom if denom != 0 else 0.0
-        f2 = freqs[k] + frac * (freqs[1] - freqs[0])
-        out[c] = f2 / 2.0
-    return out
-
-
 def engage_bit_sync(
     state: TrackState,
     boundary_phase: np.ndarray,   # (C,) epoch residues from find_bit_boundary
