@@ -74,6 +74,7 @@ def fix_scenario(
     ),
     prns: Tuple[int, ...] = (2, 7, 15, 24),
     prefix_bits: int = 100,
+    frame_repeats: int = 1,
 ) -> FixScenario:
     """4-satellite capture with geometry-consistent TOFs and Dopplers.
 
@@ -100,9 +101,15 @@ def fix_scenario(
         d = dict(CANONICAL_EPH)
         d.update(M0=m0, OMG0=omg0)
         prefix = np.tile([0, 1], prefix_bits // 2).astype(np.int8)
-        body = build_bitstream(d, start_tow_6s=start_tow_6s - 1,
-                               num_subframes=5,
-                               subframe_ids=(5, 1, 2, 3, 4))
+        # frame_repeats > 1 rebroadcasts subframes 1-3 with correctly
+        # advancing TOWs (the real 30 s frame cadence) so a weak-signal
+        # receiver that loses one subframe to a cycle slip gets another
+        # chance (IS-GPS-200 frame structure)
+        body = build_bitstream(
+            d, start_tow_6s=start_tow_6s - 1,
+            num_subframes=5 * frame_repeats,
+            subframe_ids=(5, 1, 2, 3, 4) * frame_repeats,
+        )
         bits = np.concatenate([prefix, body])
 
         delay_s = 0.070
