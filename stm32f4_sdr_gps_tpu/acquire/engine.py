@@ -184,9 +184,26 @@ def acquire(
     cfc = code_fft_conj(prns, plan)
     bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
     rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
-    power = np.asarray(
-        acquisition_power(epochs, cfc, rot, coherent=cfg.coherent_epochs)
-    )
+    co = cfg.coherent_epochs
+    n_hyp = max(1, int(cfg.edge_hypotheses))
+    if n_hyp == 1:
+        power = np.asarray(acquisition_power(epochs, cfc, rot, coherent=co))
+    else:
+        # bit-edge hypotheses: shift the coherent block grid and
+        # max-combine per-block-normalized powers, so one hypothesis has
+        # every block free of a nav-bit sign flip (the flip otherwise
+        # cancels the coherent sum).  Needs e >= coherent + largest
+        # offset; the last partial block is dropped per hypothesis.
+        power = None
+        for j in range(n_hyp):
+            o = (j * co) // n_hyp
+            n_blocks = (e - o) // co
+            if n_blocks < 1:
+                continue
+            pw = np.asarray(acquisition_power(
+                epochs[o: o + n_blocks * co], cfc, rot, coherent=co
+            )) / float(n_blocks)
+            power = pw if power is None else np.maximum(power, pw)
     if doppler_hints_hz:
         power = power.copy()
         for pi, prn in enumerate(prns):

@@ -104,6 +104,12 @@ class AcqConfig:
     doppler_step_hz: float = 500.0
     noncoherent_epochs: int = 10      # epochs summed non-coherently
     coherent_epochs: int = 1          # epochs summed coherently per NC block
+    # Nav-bit-edge hypotheses for long coherent spans: the coherent
+    # block start is tried at this many offsets across one block and the
+    # per-block-normalized powers are max-combined, so at least one
+    # hypothesis aligns the blocks with the (unknown) 20 ms bit grid.
+    # 1 = no hypotheses (spans must stay well under a bit).
+    edge_hypotheses: int = 1
     detect_ratio: float = 1.5         # peak / second-peak acceptance
     exclude_chips: float = 1.5        # exclusion zone around peak for 2nd peak
     # Histogram-vote compat mode (acquisition.c thresholds):
@@ -217,6 +223,18 @@ DEEP_ACQ = AcqConfig(
     doppler_step_hz=100.0,
 )
 
+#: Full-bit coherent acquisition: 20 ms coherent spans with 10 bit-edge
+#: hypotheses (one aligns the blocks to the unknown bit grid) and a
+#: matched 25 Hz Doppler grid.  ~10x the compute of DEEP_ACQ per
+#: hypothesis x10 hypotheses; detects a few dB deeper — pair with
+#: COHERENT_TRACK for the lowest-C/N0 cold starts.
+ULTRA_ACQ = AcqConfig(
+    noncoherent_epochs=120,
+    coherent_epochs=20,
+    doppler_step_hz=25.0,
+    edge_hypotheses=10,
+)
+
 #: Narrow-bandwidth loop preset for weak signals: holds lock down to
 #: ~29 dBHz (the firmware-gain default degrades below ~32 dBHz).  The
 #: longer time constants assume low platform dynamics.
@@ -280,6 +298,10 @@ class ReceiverConfig:
     # RAIM residual screening threshold (m); 0 disables (needs >= 6
     # satellites for fault identification).
     raim_threshold_m: float = 0.0
+    # Reject solutions whose post-fit residual RMS exceeds this (m);
+    # catches integer-ms boundary faults that converge to confidently
+    # wrong fixes when too few satellites exist for RAIM.  0 disables.
+    max_resid_rms_m: float = 5000.0
     # Aided bit sync (track.aided_sync): when the tracking config runs
     # the coherent PLL, channels that have not bit-synced after this
     # much prompt history get a histogram boundary search; confident

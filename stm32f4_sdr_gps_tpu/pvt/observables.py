@@ -112,8 +112,16 @@ def form_observations(
 ) -> Optional[List[Obs]]:
     """Form one obs set at ``meas_epoch_ms``; None if not ready.
 
-    All channels must hold a subframe boundary within ``max_spread_ms``
-    of each other (gps_master.c:199-201 epoch-alignment gate).
+    Channel boundaries are compared TOW-NORMALIZED: each boundary
+    labels a known transmit time, so subtracting ``tow_s`` leaves the
+    per-satellite time of flight, which must agree within
+    ``max_spread_ms`` (the physical quantity behind the firmware's
+    raw epoch-alignment gate, gps_master.c:199-201).  This tolerates a
+    channel whose most recent decoded subframe is tens of seconds
+    stale — its boundary reconstruction stays valid because the
+    sub-ms part is propagated by the live code NCO
+    (boundary_arrival_ms), good to ~±0.5 ms of TOF drift (several
+    minutes of staleness at GPS dynamics).
     """
     if not channels or any(c.subframe_time_ms == 0 for c in channels):
         return None
@@ -121,9 +129,11 @@ def form_observations(
         [boundary_arrival_ms(c.subframe_time_ms, c.code_phase_chips)
          for c in channels]
     )
-    if arrivals.max() - arrivals.min() > max_spread_ms:
+    tow_ms = np.array([c.tow_s for c in channels]) * 1000.0
+    tof_like = arrivals - (tow_ms - tow_ms.min())
+    if tof_like.max() - tof_like.min() > max_spread_ms:
         return None
-    ref = int(np.argmin(arrivals))
+    ref = int(np.argmin(tof_like))
     ref_ch = channels[ref]
     elapsed_ms = meas_epoch_ms - arrivals[ref]
     if elapsed_ms < 0:
@@ -133,9 +143,8 @@ def form_observations(
     obs_time = gpst2time(ref_ch.week, tow)
 
     out: List[Obs] = []
-    for ch, arr in zip(channels, arrivals):
-        rel_tof_ms = arr - arrivals[ref]
-        pr = (GPS_OFFSET_TIME_MS + rel_tof_ms) * CLIGHT_PER_MS
+    for ch, rel in zip(channels, tof_like - tof_like[ref]):
+        pr = (GPS_OFFSET_TIME_MS + rel) * CLIGHT_PER_MS
         out.append(
             Obs(sat=ch.prn, time=obs_time, P=pr, D=ch.doppler_hz,
                 snr=ch.snr_db)

@@ -455,9 +455,19 @@ class Receiver:
         x0 = self.solutions[-1].rr if self.solutions else None
         sol = pntpos(obs, eph_map, x0=x0,
                      raim_threshold_m=cfg.raim_threshold_m)
-        if sol.ok:
-            self.solutions.append(sol)
-            self.solution_epochs.append(meas_epoch_ms)
+        if not sol.ok:
+            return
+        # valsol-style sanity gate (the firmware's commented-out
+        # residual check, solving.c:436-439): a single channel with a
+        # wrong integer-ms boundary produces a CONVERGED solution
+        # hundreds of km off with km-scale residuals; with <6 sats RAIM
+        # cannot identify it, so reject the epoch instead.
+        if cfg.max_resid_rms_m > 0 and sol.residuals is not None:
+            rms = float(np.sqrt(np.mean(sol.residuals ** 2)))
+            if rms > cfg.max_resid_rms_m:
+                return
+        self.solutions.append(sol)
+        self.solution_epochs.append(meas_epoch_ms)
 
     def maybe_reacquire(self, recent_samples: np.ndarray) -> List[int]:
         """Background acquisition of standby PRNs on recent samples;

@@ -131,3 +131,32 @@ def test_deep_acquisition_coherent_gain():
     assert r_co.detected
     assert abs(r_co.doppler_hz - 1730.0) < 150.0
     assert abs(r_co.code_phase_chips - 512.0) < 1.0
+
+
+def test_ultra_acq_detects_28dbhz_with_edge_hypotheses():
+    """Full-bit coherent acquisition (ULTRA_ACQ): 20 ms spans with
+    bit-edge hypotheses detect at 28 dBHz where DEEP_ACQ fails, with
+    exact code phase and ~2 Hz Doppler; pure noise stays undetected."""
+    import dataclasses
+
+    from stm32f4_sdr_gps_tpu.config import DEEP_ACQ, ULTRA_ACQ
+
+    ultra = dataclasses.replace(ULTRA_ACQ, doppler_span_hz=2000.0)
+    deep = dataclasses.replace(DEEP_ACQ, doppler_span_hz=2000.0)
+    rng = np.random.default_rng(0)
+    sat = SimSat(prn=17, doppler_hz=1200.0, code_phase_chips=300.0,
+                 cn0_dbhz=28.0, codes_in_bit=20,
+                 nav_bits=list(rng.integers(0, 2, 40)))
+    x, _ = simulate_capture([sat], num_epochs=130, seed=1)
+    ru = acquire(x, [17], cfg=ultra)[0]
+    rd = acquire(x, [17], cfg=deep)[0]
+    assert ru.detected and ru.peak_ratio > 2.0
+    assert abs(ru.doppler_hz - 1200.0) < 10.0
+    assert abs(ru.code_phase_chips - 300.0) < 0.5
+    assert not rd.detected  # 4 ms spans are not enough at 28 dBHz
+
+    noise = (np.random.default_rng(10).standard_normal(130 * 2046)
+             + 1j * np.random.default_rng(110).standard_normal(130 * 2046)
+             ).astype(np.complex64)
+    rn = acquire(noise, [17], cfg=ultra)[0]
+    assert not rn.detected
