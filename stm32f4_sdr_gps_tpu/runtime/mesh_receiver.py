@@ -93,16 +93,18 @@ class MeshReceiver(Receiver):
             ch.state_name = "TRACKING"
 
     def process_block(self, samples: np.ndarray) -> None:
-        # NOTE: the aided bit-sync evaluation (_maybe_aided_sync) is not
-        # wired into the mesh path yet — use the plain Receiver for the
-        # COHERENT_TRACK weak-signal chain (docs/ROADMAP.md §5).
         cfg = self.config
         spe = cfg.plan.samples_per_epoch
         n_epochs = len(samples) // spe
         outs = self.tracker.process(samples[: n_epochs * spe])
         self._consume_outputs(outs, n_epochs)
-        self.epoch_cursor += n_epochs
-        # alias for checkpointing (runtime.checkpoint reads track_state;
-        # restoring a MeshReceiver yields a plain Receiver — re-shard
-        # with StreamingTracker to resume on a mesh)
+        # aided bit sync operates on the sharded state directly: the
+        # engage updates are elementwise jnp.where ops, so the result
+        # feeds straight back into the sharded scan (pjit re-shards)
         self.track_state = self.tracker.state
+        self._maybe_aided_sync(outs, n_epochs, samples[: n_epochs * spe])
+        self.tracker.state = self.track_state
+        self.epoch_cursor += n_epochs
+        # track_state doubles as the checkpoint alias (runtime.checkpoint
+        # reads it; restoring a MeshReceiver yields a plain Receiver —
+        # re-shard with StreamingTracker to resume on a mesh)

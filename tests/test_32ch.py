@@ -107,3 +107,33 @@ def test_mesh_receiver_end_to_end():
     for ch in report.channels:
         assert ch.state_name == "TRACKING"
         assert (ch.eph.received_mask_proc & 0x7) == 0x7, ch.prn
+
+
+def test_mesh_receiver_aided_sync_engages():
+    """Aided bit sync on the mesh path: COHERENT_TRACK disables the
+    run-time counters, so sync can only come from the histogram search
+    acting on the SHARDED tracking state (Receiver._maybe_aided_sync
+    via MeshReceiver.process_block)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from stm32f4_sdr_gps_tpu.config import COHERENT_TRACK, ReceiverConfig
+    from stm32f4_sdr_gps_tpu.runtime.mesh_receiver import MeshReceiver
+    from stm32f4_sdr_gps_tpu.signal.simulator import SimSat, simulate_capture
+
+    rng = np.random.default_rng(2)
+    prns = (5, 29)
+    sats = [SimSat(prn=p, doppler_hz=float(d), code_phase_chips=float(cp),
+                   cn0_dbhz=45.0, codes_in_bit=20,
+                   nav_bits=list(rng.integers(0, 2, 40)))
+            for p, d, cp in zip(prns, (900.0, -1400.0), (100.0, 700.0))]
+    E = 4800
+    x, _ = simulate_capture(sats, num_epochs=E, seed=2)
+
+    cfg = ReceiverConfig(prns=prns, track=COHERENT_TRACK,
+                         enable_position=False, track_block_epochs=100)
+    mesh = make_mesh(time=2, chan=4)
+    rx = MeshReceiver(cfg, mesh)
+    report = rx.run(x)
+    for ch in report.channels:
+        assert ch.bit_synced, ch.prn
+        assert ch.bit_count > 5, ch.prn
