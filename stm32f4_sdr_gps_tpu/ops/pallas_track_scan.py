@@ -21,10 +21,13 @@ channel axis needs VMEM↔SMEM staging — round-2 work, docs/ROADMAP.md
 §2).  Deliberate scope cuts vs track_epoch_step, documented here so the
 diff is auditable:
 
-* no false-lock watchdog (tracking.c:261-327) and no SNR estimator
-  (tracking.c:147-169) — the receiver computes C/N0 host-side anyway
-  (runtime.receiver._m2m4_cn0); use the production scan when the
-  in-scan watchdog matters;
+* no SNR estimator (tracking.c:147-169) — the receiver computes C/N0
+  host-side anyway (runtime.receiver._m2m4_cn0);
+* the false-lock watchdog IS in-kernel (4-epoch sign window +
+  counters), but its kick-target jitter uses a simplified integer LCG,
+  so a kicked channel's exact Doppler differs from the production
+  scan (both are random kicks around the acquisition Doppler);
+  pll_check_window must be 4 (the compiled ring size);
 * all channels share one global epoch counter (``start_epoch + t``);
   the production state carries per-channel ``epoch_idx``, which only
   diverges after a late-rise concat;
@@ -56,11 +59,14 @@ from .pallas_epl import S, SP, U2P
 # SMEM per-channel state rows (f32 / i32 planes)
 _F32_FIELDS = (
     "code_phase", "doppler", "carrier_phase",
-    "dll_prev", "pll_prev", "fll_theta", "fll_err",
+    "dll_prev", "pll_prev", "fll_theta", "fll_err", "acq_doppler",
 )
 _I32_FIELDS = (
     "fll_primed", "prev_sign", "last_swap", "rpc", "sync",
     "old_rem", "pos_cnt", "neg_cnt",
+    # false-lock watchdog (tracking.c:261-327): sign window ring
+    # (oldest..newest, pll_check_window=4 assumed) + counters
+    "w0", "w1", "w2", "w3", "bad_cnt", "master_cnt",
 )
 NF32 = len(_F32_FIELDS)
 NI32 = len(_I32_FIELDS)
@@ -132,6 +138,13 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
             old_rem = i32_st[5, c]
             pos_cnt = i32_st[6, c]
             neg_cnt = i32_st[7, c]
+            w0 = i32_st[8, c]
+            w1 = i32_st[9, c]
+            w2 = i32_st[10, c]
+            w3 = i32_st[11, c]
+            bad_cnt = i32_st[12, c]
+            master = i32_st[13, c]
+            acq_dop = f32_st[7, c]
 
             # ---- carrier wipe-off (matches pallas_epl kernel) --------
             ang = ph + (dop / fs) * k
@@ -194,8 +207,35 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
             new_ph = ph + dop * (S / fs)
             new_ph = new_ph - jnp.floor(new_ph)
 
-            # ---- bit sync (nav_data.c:46-138) ------------------------
+            # ---- false-lock watchdog (tracking.c:261-327) ------------
             sgn = jnp.where(ip > 0, 1, -1)
+            trans = ((w2 != w1).astype(jnp.int32)
+                     + (w3 != w2).astype(jnp.int32)
+                     + (sgn != w3).astype(jnp.int32))
+            wend = jnp.mod(epoch, cfg.pll_check_window) == (
+                cfg.pll_check_window - 1)
+            bad2 = jnp.where(
+                wend,
+                jnp.where(trans > 1, jnp.minimum(bad_cnt + 1, 10),
+                          jnp.maximum(bad_cnt - 1, 0)),
+                bad_cnt,
+            )
+            master2 = jnp.where(
+                wend & (bad2 > 9), master + 1,
+                jnp.where(wend & (bad2 == 0), 0, master),
+            )
+            kick = master2 > cfg.pll_bad_state_threshold
+            # simplified integer LCG jitter (production uses a uint32
+            # xorshift variant; both are random around acq doppler)
+            u = jnp.mod(
+                (epoch * 37 + c) * 1664525 + 1013904223, 1 << 23
+            ).astype(jnp.float32) / jnp.float32(1 << 23)
+            new_dop = jnp.where(kick, acq_dop + (u - 0.5) * 500.0,
+                                new_dop)
+            bad2 = jnp.where(kick, 0, bad2)
+            master2 = jnp.where(kick, 0, master2)
+
+            # ---- bit sync (nav_data.c:46-138) ------------------------
             flip = sgn != prev_sign
             rem_at = jnp.mod(epoch - last_swap, cib)
             on_grid = (rem_at <= 1) | (rem_at == cib - 1)
@@ -237,6 +277,12 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
             i32_st[5, c] = rem2
             i32_st[6, c] = p2
             i32_st[7, c] = n2
+            i32_st[8, c] = w1
+            i32_st[9, c] = w2
+            i32_st[10, c] = w3
+            i32_st[11, c] = sgn
+            i32_st[12, c] = bad2
+            i32_st[13, c] = master2
 
             # the output streams in blocks of 8 epoch-rows (SMEM block
             # shapes obey the same (8, 128) sublane tiling rule)
@@ -280,8 +326,9 @@ def state_from_track_state(ts) -> PallasScanState:
     f32 = jnp.stack([
         ts.code_phase_chips, ts.doppler_hz, ts.carrier_phase_cycles,
         ts.dll_err_prev, ts.pll_err_prev, ts.fll_theta_prev,
-        ts.fll_err_prev,
+        ts.fll_err_prev, ts.acq_doppler_hz,
     ]).astype(jnp.float32)
+    win = ts.ip_sign_window.astype(jnp.int32)
     i32 = jnp.stack([
         ts.fll_primed.astype(jnp.int32),
         ts.prev_ip_sign.astype(jnp.int32),
@@ -291,6 +338,9 @@ def state_from_track_state(ts) -> PallasScanState:
         ts.old_remainder.astype(jnp.int32),
         ts.bit_pos_cnt.astype(jnp.int32),
         ts.bit_neg_cnt.astype(jnp.int32),
+        win[:, 0], win[:, 1], win[:, 2], win[:, 3],
+        ts.pll_bad_cnt.astype(jnp.int32),
+        ts.pll_bad_master_cnt.astype(jnp.int32),
     ])
     return PallasScanState(f32=f32, i32=i32)
 
@@ -318,6 +368,8 @@ def pallas_track_scan(
     assert s_cnt == S, "pallas scan requires the 2.046 MHz baseband plan"
     c = u2.shape[0]
     assert c % 8 == 0, "channel count must be a multiple of 8"
+    assert cfg.pll_check_window == 4, (
+        "in-kernel watchdog ring is compiled for pll_check_window=4")
 
     t_pad = -(-t_cnt // 8) * 8  # output rows padded to the sublane tile
     x = jnp.zeros((t_cnt, 2, SP), jnp.float32)
