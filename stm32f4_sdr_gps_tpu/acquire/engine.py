@@ -204,15 +204,27 @@ def acquire(
                 epochs[o: o + n_blocks * co], cfc, rot, coherent=co
             )) / float(n_blocks)
             power = pw if power is None else np.maximum(power, pw)
-    if doppler_hints_hz:
-        power = power.copy()
-        for pi, prn in enumerate(prns):
-            hint = doppler_hints_hz.get(int(prn))
-            if hint is None:
-                continue
-            keep = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
-            power[pi, ~keep, :] = 0.0
+    power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)
     return analyze_power(power, prns, bins, plan, cfg)
+
+
+def apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg):
+    """Confine hinted PRNs' power cubes to hint +/- one Doppler bin.
+
+    The capability of the firmware's user-supplied hints that skip the
+    frequency search entirely (main.c:59-73, acquisition.c:72-79).
+    Shared by acquire() and the mesh-sharded acquire_sharded().
+    """
+    if not doppler_hints_hz:
+        return power
+    power = power.copy()
+    for pi, prn in enumerate(prns):
+        hint = doppler_hints_hz.get(int(prn))
+        if hint is None:
+            continue
+        keep = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
+        power[pi, ~keep, :] = 0.0
+    return power
 
 
 def refine_doppler(

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..acquire.engine import AcqResult, analyze_power
+from ..acquire.engine import AcqResult, analyze_power, apply_doppler_hints
 from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN
 from ..ops.correlate import code_fft_conj
 from ..ops.wipeoff import doppler_rotations
@@ -47,10 +47,13 @@ def acquire_sharded(
     plan: SignalPlan = BASEBAND_PLAN,
     cfg: AcqConfig = AcqConfig(),
     num_epochs: Optional[int] = None,
+    doppler_hints_hz: Optional[dict] = None,
 ) -> List[AcqResult]:
     """Mesh-sharded cold acquisition over a capture.
 
     PRNs shard over ``chan`` (pad to a multiple), epochs over ``time``.
+    ``doppler_hints_hz`` confines hinted PRNs to hint +/- one bin, same
+    as the single-device ``acquire()``.
     """
     s = plan.samples_per_epoch
     e = num_epochs or cfg.noncoherent_epochs
@@ -71,6 +74,7 @@ def acquire_sharded(
         power = sharded_acquisition_power(epochs, cfc, rot, mesh)
         power.block_until_ready()
     power = np.asarray(power)[: len(prns)]
+    power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)
     return analyze_power(power, prns, bins, plan, cfg)
 
 

@@ -216,7 +216,12 @@ def estpos(obs_list, rs, dts, vare, svh, eph_map, x0=None, ion_params=None):
             sol.ns = ns
             sol.pos_llh = ecef2pos(sol.rr)
             sol.azel_deg = np.degrees(azel)
-            sol.residuals = v[: len(obs_list)]
+            # only the ns contributing observations produced residual
+            # rows; the remaining entries of v are the constraint rows
+            # for the unused bias states (the firmware masks with vsat,
+            # solving.c:744) -- including them would dilute the RAIM /
+            # max_resid_rms_m RMS.
+            sol.residuals = v[:ns]
             sol.iterations = it + 1
             return sol
     sol.iterations = MAXITR
@@ -236,7 +241,9 @@ def solve_velocity(obs_list, rs, sol: Solution) -> bool:
     lam = CLIGHT / 1.57542e9
     rows, y = [], []
     for i, obs in enumerate(obs_list):
-        if obs.D == 0.0 and len(obs_list) < 4:
+        if obs.D == 0.0:
+            # D == 0.0 is the "Doppler unavailable" default; treating it
+            # as a real 0 Hz range rate would corrupt the velocity fit.
             continue
         r, e = geodist(rs[i], sol.rr)
         if r <= 0:

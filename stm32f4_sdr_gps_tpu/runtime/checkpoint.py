@@ -8,6 +8,11 @@ streaming job can stop mid-capture and resume bit-exactly.
 
 Format: a single .npz holding the TrackState leaves + a pickled host
 blob (framers/ephemeris are plain dataclasses).
+
+Trust boundary: the host blob is a Python pickle — loading a
+checkpoint executes whatever that pickle encodes, so only load
+checkpoints you produced (same stance as torch.load; the
+``allow_pickle=False`` on np.load guards the *array* entries only).
 """
 
 from __future__ import annotations
@@ -38,6 +43,17 @@ def save_receiver(path: str, receiver) -> str:
         solutions=receiver.solutions,
         solution_epochs=receiver.solution_epochs,
         last_solve_ms=receiver._last_solve_ms,
+        # cadence/standby/aided-sync ledgers — without these, resume
+        # drops late-rise PRNs and restarts the RTCM/reacq clocks
+        standby_channels=receiver.standby_channels,
+        rtcm_frames=receiver.rtcm_frames,
+        last_rtcm_ms=receiver._last_rtcm_ms,
+        last_reacq_ms=receiver._last_reacq_ms,
+        ip_hist=receiver._ip_hist,
+        ip_hist_start=receiver._ip_hist_start,
+        aided_low_conf=receiver._aided_low_conf,
+        pending_phase=receiver._pending_phase,
+        pending_cnt=receiver._pending_cnt,
     )
     blob = io.BytesIO()
     pickle.dump(host, blob)
@@ -59,6 +75,18 @@ def load_receiver(path: str):
     rx.solutions = host["solutions"]
     rx.solution_epochs = host["solution_epochs"]
     rx._last_solve_ms = int(host["last_solve_ms"])
+    rx.standby_channels = host.get("standby_channels", [])
+    rx.rtcm_frames = host.get("rtcm_frames", [])
+    rx._last_rtcm_ms = int(host.get("last_rtcm_ms", 0))
+    rx._last_reacq_ms = int(host.get("last_reacq_ms", 0))
+    rx._ip_hist = host.get("ip_hist")
+    rx._ip_hist_start = int(host.get("ip_hist_start", 0))
+    if host.get("aided_low_conf") is not None:
+        rx._aided_low_conf = host["aided_low_conf"]
+    if host.get("pending_phase") is not None:
+        rx._pending_phase = host["pending_phase"]
+    if host.get("pending_cnt") is not None:
+        rx._pending_cnt = host["pending_cnt"]
     if "code_table" in data:
         rx.code_table = jnp.asarray(data["code_table"])
         rx.track_state = TrackState(

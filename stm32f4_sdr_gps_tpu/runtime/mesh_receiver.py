@@ -40,19 +40,17 @@ class MeshReceiver(Receiver):
     def acquire_all(self, samples: np.ndarray,
                     extra_hints: Optional[dict] = None) -> List[AcqResult]:
         cfg = self.config
-        results = acquire_sharded(
-            samples, list(cfg.prns), self.mesh, cfg.plan, cfg.acq
-        )
         hints = {}
         for prn, h in zip(cfg.prns, cfg.doppler_hints_hz):
             if h is not None:
                 hints[int(prn)] = float(h)
         if extra_hints:
             hints.update(extra_hints)
+        results = acquire_sharded(
+            samples, list(cfg.prns), self.mesh, cfg.plan, cfg.acq,
+            doppler_hints_hz=hints or None,
+        )
         for ch, res in zip(self.channels, results):
-            if hints and ch.prn in hints and not res.detected:
-                # hinted channels accept the hint bin (firmware semantics)
-                pass
             ch.acq = res
             ch.state_name = "ACQ_DONE" if res.detected else "ACQ_FAILED"
         return results

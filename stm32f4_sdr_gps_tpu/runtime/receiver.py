@@ -64,6 +64,19 @@ class ChannelStatus:
     state_name: str = "IDLE"
     bit_synced: bool = False      # period sync (coherent PLL engaged
     #                               when cfg.track.coherent_pll)
+    # standby-search bookkeeping (acquisition.c:13, :217-224 semantics):
+    # learned Doppler hint confining re-acquisition, and the epoch the
+    # current search started — after AcqConfig.timeout_ms of continuous
+    # failure the hint is discarded and the search widens to full grid
+    acq_hint_hz: Optional[float] = None
+    acq_search_start_ms: int = -1
+    acq_timeouts: int = 0
+    # continuous-lock ledger for the MSM DF402 lock-time indicator:
+    # epoch (ledger ms) at which the current uninterrupted bit-sync
+    # span began; -1 = not locked.  Bit sync is the receiver's proxy
+    # for continuous carrier lock (losing it means the phase history
+    # is no longer trustworthy, so the phaserange also re-aligns).
+    lock_start_ms: int = -1
 
 
 def _m2m4_cn0(ip: np.ndarray, qp: np.ndarray,
@@ -345,12 +358,29 @@ class Receiver:
                     ch.subframe_time_ms = boundary
                     ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
             ch.snr_db = float(snr[-1, c])
-            ch.bit_synced = bool(np.asarray(outs.period_sync_ok)[-1, c])
+            sync_c = np.asarray(outs.period_sync_ok)[:, c]
+            ch.bit_synced = bool(sync_c[-1])
+            # lock-time ledger (DF402): any un-synced epoch inside the
+            # block restarts the continuous-lock clock
+            if not ch.bit_synced:
+                if ch.lock_start_ms >= 0:
+                    ch.lock_start_ms = -1
+                    ch.rtcm_phase_align_m = 0.0
+            else:
+                unsync = np.nonzero(~sync_c)[0]
+                if unsync.size:
+                    ch.lock_start_ms = self.epoch_cursor + int(unsync[-1]) + 1
+                    ch.rtcm_phase_align_m = 0.0
+                elif ch.lock_start_ms < 0:
+                    ch.lock_start_ms = self.epoch_cursor
             # exclude nav-bit-edge epochs (attenuated prompts corrupt
             # the moments; the edge sits at the bit boundary epoch and
             # its predecessor)
             br_c = bit_ready[:, c]
-            clean = ~(br_c | np.roll(br_c, -1))
+            # non-wrapping shift: np.roll would wrap the final epoch's
+            # flag onto index 0, wrongly excluding the block's first
+            # epoch instead of the last edge's predecessor
+            clean = ~(br_c | np.concatenate([br_c[1:], [False]]))
             ch.cn0_dbhz = _m2m4_cn0(ip[clean, c], qp[clean, c])
             ch.doppler_hz = float(dop[-1, c])
             # integrated Doppler = carrier-phase observable (cycles);
@@ -486,8 +516,32 @@ class Receiver:
         if len(recent_samples) < need:
             return []
         window = recent_samples[-need:]
+        # search-state ledger (acquisition.c:217-224 semantics): start
+        # the per-channel search clock; a channel failing for longer
+        # than cfg.acq.timeout_ms discards its (possibly stale) Doppler
+        # hint and restarts the clock, widening to a full-grid search.
+        now = self.epoch_cursor
+        for ch in self.standby_channels:
+            if ch.acq_search_start_ms < 0:
+                ch.acq_search_start_ms = now
+            elif (cfg.acq.timeout_ms > 0
+                  and now - ch.acq_search_start_ms > cfg.acq.timeout_ms):
+                ch.acq_hint_hz = None
+                ch.acq_search_start_ms = now
+                ch.acq_timeouts += 1
+                ch.state_name = "ACQ_TIMEOUT"
+        hints = {}
+        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz):
+            if h is not None:
+                hints[int(prn)] = float(h)
+        for ch in self.standby_channels:
+            if ch.acq_hint_hz is not None:
+                hints[ch.prn] = float(ch.acq_hint_hz)
+            elif ch.acq_timeouts > 0:
+                hints.pop(ch.prn, None)     # timed out: full-grid search
         prns = [ch.prn for ch in self.standby_channels]
-        results = acquire(window, prns, cfg.plan, cfg.acq)
+        results = acquire(window, prns, cfg.plan, cfg.acq,
+                          doppler_hints_hz=hints or None)
         hits = [
             (ch, res)
             for ch, res in zip(self.standby_channels, results)
@@ -525,6 +579,7 @@ class Receiver:
         for ch, res in hits:
             ch.acq = res
             ch.state_name = "TRACKING"
+            ch.acq_search_start_ms = -1
             self.channels.append(ch)
             self.standby_channels.remove(ch)
         return new_prns
@@ -561,6 +616,11 @@ class Receiver:
             ch.state_name = "LOST"
             ch.framer = NavFramer()
             ch.subframe_time_ms = 0
+            # last tracked Doppler becomes the re-acquisition hint
+            # (warm-reset capability, gps_master.c:498-506)
+            if ch.bit_count > 0:
+                ch.acq_hint_hz = ch.doppler_hz
+            ch.acq_search_start_ms = -1
             self.standby_channels.append(ch)
             dropped.append(ch.prn)
         return dropped
@@ -598,9 +658,14 @@ class Receiver:
             # pseudorange at first emission, carrier-continuous after
             if ch.rtcm_phase_align_m == 0.0:
                 ch.rtcm_phase_align_m = o.P - LAMBDA_L1_M * o.L
+            lock_s = (
+                (meas_epoch_ms - ch.lock_start_ms) / 1000.0
+                if ch.lock_start_ms >= 0 else 0.0
+            )
             msm.append(MsmObs(
                 sat=o.sat, pseudorange_m=o.P, doppler_hz=o.D,
                 cn0_dbhz=max(o.snr + 30.0, 0.0),
+                lock_time_s=lock_s,
                 phaserange_m=ch.rtcm_phase_align_m + LAMBDA_L1_M * o.L,
             ))
         from ..pvt.gpstime import time2gpst

@@ -118,3 +118,29 @@ def test_dryrun_multichip_entrypoints():
     state, outs = fn(*args)
     assert np.asarray(outs.ip).shape == (100, 32)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_acquire_sharded_applies_doppler_hints():
+    """Doppler hints must confine the sharded search the same way the
+    single-device acquire() does (MeshReceiver passes them through)."""
+    from stm32f4_sdr_gps_tpu.parallel.streaming import acquire_sharded
+
+    _need_devices(8)
+    mesh = make_mesh(time=2, chan=4)
+    sat = SimSat(prn=3, doppler_hz=1500.0, code_phase_chips=222.0,
+                 cn0_dbhz=46.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=1)
+    prns = list(range(1, 9))
+    cfg = AcqConfig(noncoherent_epochs=10)
+
+    # correct hint: detection confined to the right bin
+    res = acquire_sharded(x, prns, mesh, PLAN, cfg,
+                          doppler_hints_hz={3: 1500.0})
+    by = {r.prn: r for r in res}
+    assert by[3].detected and abs(by[3].doppler_hz - 1500.0) < 250.0
+
+    # wrong hint: the confined search cannot see the satellite
+    res = acquire_sharded(x, prns, mesh, PLAN, cfg,
+                          doppler_hints_hz={3: -4000.0})
+    by = {r.prn: r for r in res}
+    assert not by[3].detected

@@ -249,3 +249,55 @@ def test_raim_excludes_faulty_satellite():
     assert sol.excluded_sat == 3
     err = np.linalg.norm(sol.rr - rr_true)
     assert err < 1.0, err
+
+
+def test_velocity_skips_missing_doppler():
+    """D == 0.0 means "Doppler unavailable"; such an observation must be
+    excluded from the velocity fit, not used as a real 0 Hz range rate
+    (real range rates are hundreds of m/s, so including it would throw
+    the velocity solution by km/s)."""
+    rr_true = pos2ecef(np.array([np.radians(51.5), np.radians(-0.1), 80.0]))
+    obs_time = gpst2time(WEEK, TOE + 60.0)
+    geom = [(1.5, 4.65), (0.5, 0.52), (2.0, 3.62), (1.5, 3.62),
+            (1.0, 5.68), (1.0, 5.17)]
+    lam = CLIGHT / 1.57542e9
+    eph_map = {k: make_eph(k, M0=m0, OMG0=o0)
+               for k, (m0, o0) in enumerate(geom, start=1)}
+    obs = []
+    for k, eph in eph_map.items():
+        P = _forward_pseudorange(obs_time, eph, rr_true, 1e-4, eph_map)
+        o = Obs(sat=k, time=obs_time, P=P)
+        rs, dts, var, svh, ok = satposs(obs_time, [o], eph_map)
+        r, e = geodist(rs[0], rr_true)
+        o.D = -float(e @ rs[0][3:6]) / lam
+        obs.append(o)
+    obs[-1].D = 0.0     # Doppler never measured on this channel
+    sol = pntpos(obs, eph_map)
+    assert sol.ok and sol.vel is not None
+    assert np.linalg.norm(sol.vel) < 0.1, sol.vel
+
+
+def test_residuals_align_with_contributing_sats():
+    """sol.residuals must hold exactly the ns contributing residuals —
+    an excluded (unhealthy) satellite or the solver's constraint rows
+    must not dilute the RMS used by RAIM / the receiver's residual
+    gate."""
+    rr_true = pos2ecef(np.array([np.radians(51.5), np.radians(-0.1), 80.0]))
+    obs_time = gpst2time(WEEK, TOE + 60.0)
+    geom = [(1.5, 4.65), (0.5, 0.52), (2.0, 3.62), (1.5, 3.62),
+            (1.0, 5.68), (1.0, 5.17)]
+    eph_map = {k: make_eph(k, M0=m0, OMG0=o0)
+               for k, (m0, o0) in enumerate(geom, start=1)}
+    obs = []
+    for k, eph in eph_map.items():
+        P = _forward_pseudorange(obs_time, eph, rr_true, 1e-4, eph_map)
+        obs.append(Obs(sat=k, time=obs_time, P=P))
+    eph_map[6].svh = 1          # flagged unhealthy -> skipped by rescode
+    # give the unhealthy sat a wildly wrong pseudorange: it must not
+    # appear in the residual vector at all
+    obs[-1].P += 1.0e5
+    sol = pntpos(obs, eph_map)
+    assert sol.ok
+    assert sol.ns == len(obs) - 1
+    assert len(sol.residuals) == sol.ns
+    assert float(np.sqrt(np.mean(sol.residuals ** 2))) < 0.05

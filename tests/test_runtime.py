@@ -132,3 +132,57 @@ def test_cn0_estimate_matches_planted(short_capture):
     rx.run(x)
     for ch in rx.channels:
         assert 43.0 < ch.cn0_dbhz < 52.0, (ch.prn, ch.cn0_dbhz)
+
+
+def test_acq_timeout_widens_search():
+    """AcqConfig.timeout_ms (acquisition.c:13, :217-224 semantics): a
+    standby channel whose confined (hinted) search keeps failing
+    discards the stale hint after the timeout and re-enters a full-grid
+    search, which then succeeds."""
+    from stm32f4_sdr_gps_tpu.config import AcqConfig
+
+    x, _ = _make_capture(700, seed=13)
+    # PRN 24 really sits at -400 Hz; the configured hint is wrong by
+    # almost 4 kHz, so the confined search can never find it
+    cfg = _cfg(doppler_hints_hz=(None, None, None, 3500.0),
+               acq=AcqConfig(timeout_ms=400))
+    rx = Receiver(cfg)
+    rx.acquire_all(x)
+    assert not rx.channels[3].acq.detected
+    rx.start_tracking(x)
+    assert [ch.prn for ch in rx.standby_channels] == [24]
+    sb = rx.standby_channels[0]
+
+    win = x[: 500 * 2046]
+    rx.epoch_cursor = 500
+    assert rx.maybe_reacquire(win) == []       # hint confines -> fail
+    assert sb.acq_search_start_ms == 500
+    assert sb.acq_timeouts == 0
+
+    rx.epoch_cursor = 980                      # > timeout_ms later
+    added = rx.maybe_reacquire(win)
+    assert sb.acq_timeouts == 1                # search state was reset
+    assert added == [24]                       # full-grid search found it
+    assert sb.state_name == "TRACKING"
+    assert abs(rx.channels[-1].acq.doppler_hz - (-400.0)) < 300.0
+
+
+def test_msm_lock_time_nontrivial():
+    """DF402 lock-time indicator must reflect continuous tracking time,
+    not stay at 0 (< 32 ms) forever."""
+    x, _ = _make_capture(4400, seed=13)
+    rx = Receiver(_cfg(enable_rtcm=True))
+    rx.run(x)
+    msm_locks = []
+    for f in rx.rtcm_frames:
+        payload = deframe(f)
+        msg = (payload[0] << 4) | (payload[1] >> 4)
+        if msg == 1075:
+            d = decode_msm(payload)
+            msm_locks.append([o["lock"] for o in d["obs"]])
+    assert msm_locks, "no MSM frames"
+    # by the last emission every channel has been locked for seconds
+    assert min(msm_locks[-1]) >= 7      # DF402 >= 7 <=> >= 2.048 s
+    # lock time grows monotonically while lock holds
+    firsts = [locks[0] for locks in msm_locks]
+    assert firsts == sorted(firsts)
