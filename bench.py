@@ -145,6 +145,8 @@ def run_bench() -> bool:
 
     from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN, TrackConfig
     from stm32f4_sdr_gps_tpu.ops.correlate import code_fft_conj
+    from stm32f4_sdr_gps_tpu.ops.pallas_epl import upsampled_code_doubled
+    from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import track_block_pallas
     from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
     from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power
     from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar
@@ -156,11 +158,12 @@ def run_bench() -> bool:
     print(f"device: {dev} ({platform})", file=sys.stderr)
 
     plan = BASEBAND_PLAN
-    cfg = TrackConfig()
     n_chan = 32
 
     prns = [(i % 32) + 1 for i in range(n_chan)]
-    table = jnp.asarray(ca_table_bipolar(prns))
+    table_np = ca_table_bipolar(prns)
+    table = jnp.asarray(table_np)
+    u2 = jnp.asarray(upsampled_code_doubled(table_np))
     rng = np.random.default_rng(0)
 
     honest_wall = platform == "cpu" or wall_clock_is_honest()
@@ -176,48 +179,81 @@ def run_bench() -> bool:
         rng.uniform(0, 1023, n_chan),
         rng.uniform(-5000, 5000, n_chan),
     )
+
+    # Candidate tracking paths.  The headline metric is the FASTEST
+    # verified path (all three are equivalence-tested against each
+    # other in tests/test_pallas_scan.py / test_pallas.py).  Pallas
+    # paths only run natively (interpret mode on CPU measures the
+    # emulator, not the framework).
     # NOTE: no buffer donation — donation hangs on some remote transports
-    fn = jax.jit(lambda st, ep, tb: track_block(st, ep, tb, plan, cfg))
-    st, outs = fn(state0, epochs, table)
-    jax.block_until_ready((st, outs))
+    cfg_jnp = TrackConfig()
+    cfg_epl = TrackConfig(use_pallas=True)
+    candidates = [
+        ("jnp-scan",
+         jax.jit(lambda st, ep: track_block(st, ep, table, plan, cfg_jnp))),
+    ]
+    if platform != "cpu":
+        candidates += [
+            ("pallas-epl-scan",
+             jax.jit(lambda st, ep: track_block(st, ep, u2, plan, cfg_epl))),
+            ("pallas-in-kernel-scan",
+             jax.jit(lambda st, ep: track_block_pallas(
+                 st, ep, u2, plan, cfg_jnp))),
+        ]
 
     method = None
-    rt_multiple = None
-    n_blocks = 0
-    if honest_wall:
-        n_blocks = 8 if platform == "cpu" else 64
-        t0 = time.perf_counter()
-        st = state0
-        for _ in range(n_blocks):
-            st, outs = fn(st, epochs, table)
-        jax.block_until_ready((st, outs))
-        wall = time.perf_counter() - t0
-        rt_multiple = n_blocks * block_epochs * 1e-3 / wall
-        method = "wall-clock chain"
-    else:
-        n_blocks = 4
-
-        def chain():
-            s = state0
+    best = None      # (rt_multiple, name)
+    for name, fn in candidates:
+        try:
+            st, outs = fn(state0, epochs)    # compile + warm up
+            jax.block_until_ready((st, outs))
+        except Exception as e:  # noqa: BLE001
+            print(f"tracking[{name}]: failed to compile/run: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            continue
+        rt = None
+        if honest_wall:
+            n_blocks = 8 if platform == "cpu" else 64
+            t0 = time.perf_counter()
+            st = state0
             for _ in range(n_blocks):
-                s, o = fn(s, epochs, table)
-            jax.block_until_ready((s, o))
+                st, outs = fn(st, epochs)
+            jax.block_until_ready((st, outs))
+            wall = time.perf_counter() - t0
+            rt = n_blocks * block_epochs * 1e-3 / wall
+            method = "wall-clock chain"
+        else:
+            n_blocks = 4
 
-        dev_s = _device_trace_seconds(chain)
-        if dev_s is not None and dev_s > 0:
-            rt_multiple = n_blocks * block_epochs * 1e-3 / dev_s
-            method = "profiler device trace"
+            def chain():
+                s = state0
+                for _ in range(n_blocks):
+                    s, o = fn(s, epochs)
+                jax.block_until_ready((s, o))
 
-    if rt_multiple is None:
+            dev_s = _device_trace_seconds(chain)
+            if dev_s is not None and dev_s > 0:
+                rt = n_blocks * block_epochs * 1e-3 / dev_s
+                method = "profiler device trace"
+        if rt is None:
+            print(f"tracking[{name}]: no trustworthy timing",
+                  file=sys.stderr)
+            continue
+        print(
+            f"tracking[{name}] ({method}): {n_blocks}x{block_epochs} "
+            f"epochs x {n_chan} ch => {rt:.1f}x real-time",
+            file=sys.stderr,
+        )
+        if best is None or rt > best[0]:
+            best = (rt, name)
+
+    if best is None:
         print("no trustworthy device timing available", file=sys.stderr)
         return False
 
+    rt_multiple, best_name = best
     samples_per_s = plan.sample_rate_hz * rt_multiple
-    print(
-        f"tracking ({method}): {n_blocks}x{block_epochs} epochs x "
-        f"{n_chan} ch => {rt_multiple:.1f}x real-time",
-        file=sys.stderr,
-    )
+    print(f"headline path: {best_name}", file=sys.stderr)
 
     # acquisition secondary benchmark (same timing discipline)
     acq = AcqConfig()

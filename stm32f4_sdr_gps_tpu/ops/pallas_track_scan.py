@@ -1,47 +1,43 @@
-"""EXPERIMENTAL: the whole tracking scan inside one Pallas kernel.
+"""The whole tracking scan inside one Pallas kernel (v2, vectorized).
 
 The production path runs the per-epoch step under ``lax.scan``
 (track.scan.track_block), launching one fused E/P/L kernel per epoch.
 This kernel moves the *entire* loop — code NCO, carrier wipe-off, E/P/L
-correlation, DLL/Costas-PLL/FLL and bit sync (tracking.c:92-393 +
-nav_data.c:46-138 equivalents) — into a single ``pallas_call`` with
-``grid=(T,)``:
+correlation, DLL/Costas-PLL/FLL, false-lock watchdog, SNR estimator and
+bit sync (tracking.c:92-393 + nav_data.c:46-138 equivalents) — into a
+single ``pallas_call`` with ``grid=(T,)``:
 
 * the epoch stream is auto-DMA'd HBM→VMEM by the Pallas pipeline
   (BlockSpec index_map over the grid) — compute overlaps the fetch of
   the next epoch, which the scan-of-kernels structure cannot do;
-* per-channel loop state lives in SMEM scratch, persisting across grid
-  steps (TPU grid steps execute sequentially on a core);
-* per-epoch observables stream out through an SMEM-blocked output;
-  the final state is copied out on the last grid step.
+* ALL per-channel loop state lives in VMEM scratch as (field, C, 1)
+  planes persisting across grid steps (TPU grid steps execute
+  sequentially on a core), and every loop-filter update is a vector op
+  over the channel axis — v1's scalar per-channel ``fori_loop`` is gone;
+* the E/P/L replicas are cached in VMEM and re-rolled only when a
+  channel's integer half-chip shift M changes (every ~100+ epochs per
+  channel under normal code drift), amortizing the three
+  ``pltpu.roll``s of the doubled code that dominated v1;
+* per-epoch observables stream out through a (1, C, NOUT) VMEM block.
 
-v1 is correctness-first: channels advance via an in-kernel
-``fori_loop`` with scalar state math (vectorizing state across the
-channel axis needs VMEM↔SMEM staging — round-2 work, docs/ROADMAP.md
-§2).  Deliberate scope cuts vs track_epoch_step, documented here so the
-diff is auditable:
-
-* no SNR estimator (tracking.c:147-169) — the receiver computes C/N0
-  host-side anyway (runtime.receiver._m2m4_cn0);
-* the false-lock watchdog IS in-kernel (4-epoch sign window +
-  counters), but its kick-target jitter uses a simplified integer LCG,
-  so a kicked channel's exact Doppler differs from the production
-  scan (both are random kicks around the acquisition Doppler);
-  pll_check_window must be 4 (the compiled ring size);
-* all channels share one global epoch counter (``start_epoch + t``);
-  the production state carries per-channel ``epoch_idx``, which only
-  diverges after a late-rise concat;
-* bit decisions are majority-vote only (``cfg.coherent_bit_vote`` is
-  not implemented in-kernel yet).
+v2 closes v1's documented scope cuts: the SNR estimator
+(tracking.c:147-169) runs in-kernel, the coherent-bit-vote and
+20 ms coherent-PLL modes (TrackConfig.coherent_bit_vote/coherent_pll)
+are implemented, the watchdog window length follows
+``cfg.pll_check_window`` (no longer pinned to 4), the watchdog kick
+jitter uses the same integer-exact LCG as the production scan, and the
+epoch counter is per-channel state (late-rise concat safe).  The only
+remaining numeric deltas vs track_epoch_step are the half-chip replica
+equivalence shared with ops.pallas_epl and the polynomial Costas
+discriminator (atan2 has no Mosaic lowering), both ~1e-5-level.
 
 Validated against track_block in interpreter mode
 (tests/test_pallas_scan.py, including exact integer bit-sync
-agreement); compiles and executes natively on a TPU v5e (Mosaic notes:
-SMEM output blocks obey the same (8, 128) sublane tiling rule as VMEM,
-hence the 8-epoch-row output blocking; atan2 has no Mosaic lowering,
-hence the polynomial Costas discriminator).  The TPU wall-clock
-comparison vs the scan-of-kernels path is round-2 work — it needs the
-honest-timing environment first (docs/SCALING.md).
+agreement); Mosaic notes that shaped this design live in CLAUDE.md
+(scalar VMEM loads lower as 1-element vector.load + extract; no scalar
+stores to VMEM; SMEM takes scalar load/store; iota must be integer;
+unaligned dynamic lane slices are illegal — ``pltpu.roll`` handles the
+data-dependent code shifts).
 """
 
 from __future__ import annotations
@@ -54,29 +50,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CODE_LENGTH, FREQ_L1_HZ, SignalPlan, TrackConfig
+from ..track.state import TrackOutputs, TrackState
 from .pallas_epl import S, SP, U2P
 
-# SMEM per-channel state rows (f32 / i32 planes)
+# state plane rows (each field is a (C, 1) vector row of the plane)
 _F32_FIELDS = (
     "code_phase", "doppler", "carrier_phase",
     "dll_prev", "pll_prev", "fll_theta", "fll_err", "acq_doppler",
+    "snr_i_sum", "snr_q_sum", "snr_db", "bit_ip_sum", "bit_qp_sum",
 )
 _I32_FIELDS = (
     "fll_primed", "prev_sign", "last_swap", "rpc", "sync",
-    "old_rem", "pos_cnt", "neg_cnt",
-    # false-lock watchdog (tracking.c:261-327): sign window ring
-    # (oldest..newest, pll_check_window=4 assumed) + counters
-    "w0", "w1", "w2", "w3", "bad_cnt", "master_cnt",
+    "old_rem", "pos_cnt", "neg_cnt", "bad_cnt", "master_cnt",
+    "snr_cnt", "epoch", "code_wraps",
 )
 NF32 = len(_F32_FIELDS)
 NI32 = len(_I32_FIELDS)
-# per-epoch output slots (per channel):
+# per-epoch output slots (lane axis of the (1, C, NOUT) output block):
 # 0 ip, 1 qp, 2 code_phase (epoch start), 3 doppler (updated),
-# 4 bit_ready, 5 bit_value, 6 bit_epoch, 7 period_sync_ok
-NOUT = 8
+# 4 bit_ready, 5 bit_value, 6 bit_epoch, 7 period_sync_ok,
+# 8 snr_db, 9 code_wrapped, 10 ie, 11 qe, 12 il, 13 ql, 14-15 spare
+NOUT = 16
 
 
-def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
+def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
+            win_len: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -84,6 +82,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
     cps = float(plan.chips_per_sample)
     cib = cfg.codes_in_bit
     two_pi = float(2.0 * np.pi)
+    f32 = jnp.float32
 
     def costas_err(ip, qp):
         """atan2(qp*sign(ip), |ip|)/pi without atan2 (no Mosaic
@@ -94,7 +93,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
         ay = jnp.abs(y)
         z = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
         z2 = z * z
-        p = jnp.float32(0.0208351)
+        p = f32(0.0208351)
         p = p * z2 - 0.0851330
         p = p * z2 + 0.1801410
         p = p * z2 - 0.3302995
@@ -103,232 +102,326 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int):
         a = jnp.where(ay > ax, np.pi / 2 - a, a)
         return jnp.sign(y) * a / np.pi
 
-    def kernel(f32_init, i32_init, start_ref, x_ref, u2_ref,
-               out_ref, f32_out, i32_out, f32_st, i32_st):
+    def wrap_half(x):
+        return x - jnp.round(x)
+
+    def lcg_uniform(seed_i32):
+        """Integer-exact port of track.scan._lcg_uniform: int32 wraps
+        reproduce uint32 multiplies; logical shifts reproduce uint32
+        shifts, so the result bits match the production scan."""
+        s = seed_i32 * jnp.int32(1664525) + jnp.int32(1013904223)
+        s = s ^ jax.lax.shift_right_logical(s, 16)
+        s = s * jnp.int32(np.int64(2246822519) - (1 << 32))
+        return jax.lax.shift_right_logical(s, 8).astype(f32) / f32(1 << 24)
+
+    def kernel(f32_init, i32_init, win_init, x_ref, u2_ref,
+               out_ref, f32_out, i32_out, win_out,
+               f32_st, i32_st, win_st, rep_st, m_cache):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _load_state():
             for i in range(NF32):
-                for c in range(n_chan):
-                    f32_st[i, c] = f32_init[i, c]
+                f32_st[i] = f32_init[i]
             for i in range(NI32):
-                for c in range(n_chan):
-                    i32_st[i, c] = i32_init[i, c]
+                i32_st[i] = i32_init[i]
+            for i in range(win_len):
+                win_st[i] = win_init[i]
+            for c in range(n_chan):
+                m_cache[c] = -1          # force replica fill on epoch 0
 
-        epoch = start_ref[0, 0] + t
-        k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(
-            jnp.float32)
-        xr = x_ref[0, 0:1, :]
-        xi = x_ref[0, 1:2, :]
+        # ---- replica cache refresh (the only per-channel loop) ----------
+        # M = integer half-chip shift of the doubled upsampled code
+        # (ops.pallas_epl equivalence); it changes only when the code
+        # phase crosses a half-chip boundary, so the three rolls run
+        # rarely per channel.
+        def refresh_body(c, _):
+            cpc = f32_st[0, c, 0]
+            mc = jnp.floor(2.0 * cpc).astype(jnp.int32) % S
+            mc = jnp.where(mc == 0, S, mc)
 
-        def channel_body(c, _):
-            cp = f32_st[0, c]
-            dop = f32_st[1, c]
-            ph = f32_st[2, c]
-            dll_prev = f32_st[3, c]
-            pll_prev = f32_st[4, c]
-            fll_theta = f32_st[5, c]
-            fll_err = f32_st[6, c]
-            fll_primed = i32_st[0, c]
-            prev_sign = i32_st[1, c]
-            last_swap = i32_st[2, c]
-            rpc = i32_st[3, c]
-            sync = i32_st[4, c]
-            old_rem = i32_st[5, c]
-            pos_cnt = i32_st[6, c]
-            neg_cnt = i32_st[7, c]
-            w0 = i32_st[8, c]
-            w1 = i32_st[9, c]
-            w2 = i32_st[10, c]
-            w3 = i32_st[11, c]
-            bad_cnt = i32_st[12, c]
-            master = i32_st[13, c]
-            acq_dop = f32_st[7, c]
+            @pl.when(mc != m_cache[c])
+            def _():
+                row = u2_ref[pl.ds(c, 1), :]
+                rep_st[0, pl.ds(c, 1), :] = pltpu.roll(
+                    row, -(mc - 1), 1)[:, :SP]
+                rep_st[1, pl.ds(c, 1), :] = pltpu.roll(row, -mc, 1)[:, :SP]
+                rep_st[2, pl.ds(c, 1), :] = pltpu.roll(
+                    row, -(mc + 1), 1)[:, :SP]
+                m_cache[c] = mc
 
-            # ---- carrier wipe-off (matches pallas_epl kernel) --------
-            ang = ph + (dop / fs) * k
-            ang = ang - jnp.floor(ang)
-            cosv = jnp.cos(two_pi * ang)
-            sinv = jnp.sin(two_pi * ang)
-            yr = xr * cosv + xi * sinv
-            yi = xi * cosv - xr * sinv
-
-            # ---- E/P/L: dynamic rotate of the doubled code -----------
-            m = jnp.floor(2.0 * cp).astype(jnp.int32) % S
-            m = jnp.where(m == 0, S, m)
-            row = u2_ref[pl.ds(c, 1), :]
-            sums = []
-            for lag in (-1, 0, 1):
-                rep = pltpu.roll(row, -(m + lag), 1)[:, :SP]
-                sums.append(jnp.sum(yr * rep))
-                sums.append(jnp.sum(yi * rep))
-            ie, qe, ip, qp, il, ql = sums
-
-            # ---- nav-bit edge-zone freeze (track_epoch_step) ---------
-            rem_pred = jnp.mod(epoch - last_swap, cib)
-            edge = (sync == 1) & (
-                (rem_pred == 0) | (rem_pred == cib - 1))
-
-            # ---- DLL (tracking.c:333-393 gains) ----------------------
-            e2 = ie * ie + qe * qe
-            l2 = il * il + ql * ql
-            cerr_raw = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
-            cerr = jnp.where(edge, dll_prev, cerr_raw)
-            ddelta = jnp.where(
-                edge, 0.0,
-                cfg.dll_c1 * (cerr - dll_prev)
-                + cfg.dll_c2 * cfg.dt_s * cerr,
-            ) / cfg.fine_ratio
-            code_freq = cps * (1.0 + dop / FREQ_L1_HZ)
-            new_cp = jnp.mod(cp + code_freq * S + ddelta,
-                             jnp.float32(CODE_LENGTH))
-
-            # ---- Costas PLL (tracking.c:175-209) ---------------------
-            perr = costas_err(ip, qp)
-            c1 = jnp.where(sync == 1, cfg.pll_narrow_c1, cfg.pll_wide_c1)
-            c2 = jnp.where(sync == 1, cfg.pll_narrow_c2, cfg.pll_wide_c2)
-            dphase = perr - pll_prev
-            dphase = dphase - jnp.round(dphase)
-            pll_delta = (c1 * dphase + c2 * cfg.dt_s * perr) * cfg.pll_scale
-
-            # ---- FLL (tracking.c:214-256) ----------------------------
-            fdiff = perr - fll_theta
-            fdiff = fdiff - jnp.round(fdiff)
-            odiff = fdiff - fll_err
-            odiff = odiff - jnp.round(odiff)
-            fll_delta = jnp.where(
-                (fll_primed == 1) & ~edge,
-                (cfg.fll_c1 * cfg.dt_s * odiff
-                 + cfg.fll_c2 * cfg.dt_s * fdiff) * cfg.fll_scale,
-                0.0,
-            )
-            new_dop = dop + pll_delta + fll_delta
-            new_ph = ph + dop * (S / fs)
-            new_ph = new_ph - jnp.floor(new_ph)
-
-            # ---- false-lock watchdog (tracking.c:261-327) ------------
-            sgn = jnp.where(ip > 0, 1, -1)
-            trans = ((w2 != w1).astype(jnp.int32)
-                     + (w3 != w2).astype(jnp.int32)
-                     + (sgn != w3).astype(jnp.int32))
-            wend = jnp.mod(epoch, cfg.pll_check_window) == (
-                cfg.pll_check_window - 1)
-            bad2 = jnp.where(
-                wend,
-                jnp.where(trans > 1, jnp.minimum(bad_cnt + 1, 10),
-                          jnp.maximum(bad_cnt - 1, 0)),
-                bad_cnt,
-            )
-            master2 = jnp.where(
-                wend & (bad2 > 9), master + 1,
-                jnp.where(wend & (bad2 == 0), 0, master),
-            )
-            kick = master2 > cfg.pll_bad_state_threshold
-            # simplified integer LCG jitter (production uses a uint32
-            # xorshift variant; both are random around acq doppler)
-            u = jnp.mod(
-                (epoch * 37 + c) * 1664525 + 1013904223, 1 << 23
-            ).astype(jnp.float32) / jnp.float32(1 << 23)
-            new_dop = jnp.where(kick, acq_dop + (u - 0.5) * 500.0,
-                                new_dop)
-            bad2 = jnp.where(kick, 0, bad2)
-            master2 = jnp.where(kick, 0, master2)
-
-            # ---- bit sync (nav_data.c:46-138) ------------------------
-            flip = sgn != prev_sign
-            rem_at = jnp.mod(epoch - last_swap, cib)
-            on_grid = (rem_at <= 1) | (rem_at == cib - 1)
-            rpc2 = jnp.where(
-                flip & on_grid, jnp.minimum(rpc + 1, 10),
-                jnp.where(flip, jnp.maximum(rpc - 1, 0), rpc),
-            )
-            sync2 = jnp.where(
-                flip,
-                jnp.where(rpc2 > cfg.bit_sync_up, 1,
-                          jnp.where(rpc2 < cfg.bit_sync_down, 0, sync)),
-                sync,
-            )
-            ls2 = jnp.where(flip, epoch, last_swap)
-            rem2 = jnp.mod(epoch - ls2, cib)
-            boundary = (sync2 == 1) & (rem2 < old_rem)
-            votes = pos_cnt + neg_cnt
-            bit_val = jnp.where(pos_cnt > neg_cnt, 1, 0)
-            bit_ready = boundary & (votes > 0)
-            bit_epoch = epoch - votes
-            p2 = jnp.where(boundary, 0, pos_cnt)
-            n2 = jnp.where(boundary, 0, neg_cnt)
-            p2 = jnp.where((sync2 == 1) & (ip > 0), p2 + 1, p2)
-            n2 = jnp.where((sync2 == 1) & (ip <= 0), n2 + 1, n2)
-
-            # ---- state write-back ------------------------------------
-            f32_st[0, c] = new_cp
-            f32_st[1, c] = new_dop
-            f32_st[2, c] = new_ph
-            f32_st[3, c] = cerr
-            f32_st[4, c] = perr
-            f32_st[5, c] = perr
-            f32_st[6, c] = fdiff
-            i32_st[0, c] = 1
-            i32_st[1, c] = sgn
-            i32_st[2, c] = ls2
-            i32_st[3, c] = rpc2
-            i32_st[4, c] = sync2
-            i32_st[5, c] = rem2
-            i32_st[6, c] = p2
-            i32_st[7, c] = n2
-            i32_st[8, c] = w1
-            i32_st[9, c] = w2
-            i32_st[10, c] = w3
-            i32_st[11, c] = sgn
-            i32_st[12, c] = bad2
-            i32_st[13, c] = master2
-
-            # the output streams in blocks of 8 epoch-rows (SMEM block
-            # shapes obey the same (8, 128) sublane tiling rule)
-            r = t % 8
-            base = c * NOUT
-            out_ref[r, base + 0] = ip
-            out_ref[r, base + 1] = qp
-            out_ref[r, base + 2] = cp
-            out_ref[r, base + 3] = new_dop
-            out_ref[r, base + 4] = jnp.where(bit_ready, 1.0, 0.0)
-            out_ref[r, base + 5] = bit_val.astype(jnp.float32)
-            out_ref[r, base + 6] = bit_epoch.astype(jnp.float32)
-            out_ref[r, base + 7] = sync2.astype(jnp.float32)
             return 0
 
-        jax.lax.fori_loop(0, n_chan, channel_body, 0)
+        jax.lax.fori_loop(0, n_chan, refresh_body, 0)
+
+        # ---- vector state reads (each (C, 1)) ----------------------------
+        cp = f32_st[0]
+        dop = f32_st[1]
+        ph = f32_st[2]
+        dll_prev = f32_st[3]
+        pll_prev = f32_st[4]
+        fll_theta = f32_st[5]
+        fll_err = f32_st[6]
+        acq_dop = f32_st[7]
+        snr_i = f32_st[8]
+        snr_q = f32_st[9]
+        snr_db = f32_st[10]
+        bit_ip = f32_st[11]
+        bit_qp = f32_st[12]
+        fll_primed = i32_st[0]
+        prev_sign = i32_st[1]
+        last_swap = i32_st[2]
+        rpc = i32_st[3]
+        sync = i32_st[4]
+        old_rem = i32_st[5]
+        pos_cnt = i32_st[6]
+        neg_cnt = i32_st[7]
+        bad_cnt = i32_st[8]
+        master = i32_st[9]
+        snr_cnt = i32_st[10]
+        epoch = i32_st[11]
+        wraps = i32_st[12]
+        in_sync = sync == 1
+
+        # ---- carrier wipe-off, all channels at once ----------------------
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(f32)
+        ang = ph + (dop / fs) * k               # (C,1)+(C,1)*(1,SP)->(C,SP)
+        ang = ang - jnp.floor(ang)
+        cosv = jnp.cos(two_pi * ang)
+        sinv = jnp.sin(two_pi * ang)
+        xr = x_ref[0, 0:1, :]
+        xi = x_ref[0, 1:2, :]
+        yr = xr * cosv + xi * sinv
+        yi = xi * cosv - xr * sinv
+
+        # ---- E/P/L correlations (lane reductions) ------------------------
+        ie = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
+        qe = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
+        ip = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
+        qp = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
+        il = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
+        ql = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
+
+        # ---- nav-bit edge-zone freeze (track_epoch_step) ------------------
+        rem_pred = jnp.mod(epoch - last_swap, cib)
+        edge = in_sync & ((rem_pred == 0) | (rem_pred == cib - 1))
+
+        # ---- DLL (tracking.c:333-393) -------------------------------------
+        e2 = ie * ie + qe * qe
+        l2 = il * il + ql * ql
+        cerr_raw = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
+        cerr = jnp.where(edge, dll_prev, cerr_raw)
+        ddelta = jnp.where(
+            edge, 0.0,
+            cfg.dll_c1 * (cerr - dll_prev) + cfg.dll_c2 * cfg.dt_s * cerr,
+        ) / cfg.fine_ratio
+        code_freq = cps * (1.0 + dop / FREQ_L1_HZ)
+        unwrapped = cp + code_freq * S + ddelta
+        new_cp = jnp.mod(unwrapped, f32(CODE_LENGTH))
+        nominal = cp + f32(cps) * S
+        wrapped_flag = jnp.abs(unwrapped - nominal) > (CODE_LENGTH / 2)
+
+        # ---- Costas PLL (tracking.c:175-209) -------------------------------
+        perr = costas_err(ip, qp)
+        c1 = jnp.where(in_sync, cfg.pll_narrow_c1, cfg.pll_wide_c1)
+        c2 = jnp.where(in_sync, cfg.pll_narrow_c2, cfg.pll_wide_c2)
+        pll_delta = (
+            c1 * wrap_half(perr - pll_prev) + c2 * cfg.dt_s * perr
+        ) * f32(cfg.pll_scale)
+
+        # ---- FLL (tracking.c:214-256) --------------------------------------
+        fdiff = wrap_half(perr - fll_theta)
+        odiff = wrap_half(fdiff - fll_err)
+        fll_delta = jnp.where(
+            (fll_primed == 1) & ~edge,
+            (cfg.fll_c1 * cfg.dt_s * odiff + cfg.fll_c2 * cfg.dt_s * fdiff)
+            * f32(cfg.fll_scale),
+            0.0,
+        )
+
+        # ---- 20 ms coherent PLL (TrackConfig.coherent_pll) -----------------
+        phase_err_store = perr
+        if cfg.coherent_pll:
+            rem_now = jnp.mod(epoch - last_swap, cib)
+            bit_done = in_sync & (rem_now < old_rem)
+            perr_bit = costas_err(bit_ip, bit_qp)
+            dt_bit = cib * cfg.dt_s
+            pll_delta_bit = (
+                cfg.pll_bit_c1 * wrap_half(perr_bit - pll_prev)
+                + cfg.pll_bit_c2 * dt_bit * perr_bit
+            ) * f32(cfg.pll_bit_scale)
+            pll_delta = jnp.where(
+                in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
+            )
+            fll_delta = jnp.where(in_sync, 0.0, fll_delta)
+            phase_err_store = jnp.where(
+                in_sync, jnp.where(bit_done, perr_bit, pll_prev), perr
+            )
+
+        new_dop = dop + pll_delta + fll_delta
+        new_ph = ph + dop * (S / fs)
+        new_ph = new_ph - jnp.floor(new_ph)
+
+        # ---- false-lock watchdog (tracking.c:261-327) -----------------------
+        sgn = jnp.where(ip > 0, 1, -1)
+        # transitions of the POST-shift window [old[1:], sgn] — the
+        # (old[1] != old[0]) pair leaves the window this epoch
+        trans = (sgn != win_st[win_len - 1]).astype(jnp.int32)
+        for i in range(2, win_len):
+            trans = trans + (win_st[i] != win_st[i - 1]).astype(jnp.int32)
+        wend = jnp.mod(epoch, cfg.pll_check_window) == (
+            cfg.pll_check_window - 1)
+        bad = trans > 1
+        bad2 = jnp.where(
+            wend,
+            jnp.where(bad, jnp.minimum(bad_cnt + 1, 10),
+                      jnp.maximum(bad_cnt - 1, 0)),
+            bad_cnt,
+        )
+        master2 = jnp.where(
+            wend & (bad2 > 9), master + 1,
+            jnp.where(wend & (bad2 == 0), 0, master),
+        )
+        if cfg.coherent_pll:
+            # the per-epoch sign-transition statistic is meaningless at
+            # the C/N0 this mode targets — freeze the watchdog while
+            # synced (track_epoch_step does the same)
+            hold = in_sync
+            for i in range(win_len - 1):
+                win_st[i] = jnp.where(hold, win_st[i], win_st[i + 1])
+            win_st[win_len - 1] = jnp.where(hold, win_st[win_len - 1], sgn)
+            bad2 = jnp.where(hold, bad_cnt, bad2)
+            master2 = jnp.where(hold, master, master2)
+        else:
+            for i in range(win_len - 1):
+                win_st[i] = win_st[i + 1]
+            win_st[win_len - 1] = sgn
+        kick = master2 > cfg.pll_bad_state_threshold
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_chan, 1), 0)
+        u = lcg_uniform(epoch * 37 + iota_c)
+        new_dop = jnp.where(kick, acq_dop + (u - 0.5) * 500.0, new_dop)
+        bad2 = jnp.where(kick, 0, bad2)
+        master2 = jnp.where(kick, 0, master2)
+
+        # ---- SNR (tracking.c:147-169) ---------------------------------------
+        snr_i2 = snr_i + jnp.abs(ip)
+        snr_q2 = snr_q + jnp.abs(qp)
+        cnt2 = snr_cnt + 1
+        snr_done = cnt2 >= cfg.snr_window_epochs
+        inv_ln10 = float(10.0 / np.log(10.0))
+        snr_db2 = jnp.where(
+            snr_done,
+            inv_ln10 * jnp.log(jnp.maximum(snr_i2, 1e-9)
+                               / jnp.maximum(snr_q2, 1e-9)),
+            snr_db,
+        )
+        snr_i2 = jnp.where(snr_done, 0.0, snr_i2)
+        snr_q2 = jnp.where(snr_done, 0.0, snr_q2)
+        cnt2 = jnp.where(snr_done, 0, cnt2)
+
+        # ---- bit sync (nav_data.c:46-138) -------------------------------------
+        flip = sgn != prev_sign
+        if cfg.coherent_bit_vote or cfg.coherent_pll:
+            flip = flip & ~in_sync
+        rem_at = jnp.mod(epoch - last_swap, cib)
+        on_grid = (rem_at <= 1) | (rem_at == cib - 1)
+        rpc2 = jnp.where(
+            flip & on_grid, jnp.minimum(rpc + 1, 10),
+            jnp.where(flip, jnp.maximum(rpc - 1, 0), rpc),
+        )
+        sync2 = jnp.where(
+            flip,
+            jnp.where(rpc2 > cfg.bit_sync_up, 1,
+                      jnp.where(rpc2 < cfg.bit_sync_down, 0, sync)),
+            sync,
+        )
+        ls2 = jnp.where(flip, epoch, last_swap)
+        rem2 = jnp.mod(epoch - ls2, cib)
+        boundary = (sync2 == 1) & (rem2 < old_rem)
+        votes = pos_cnt + neg_cnt
+        if cfg.coherent_bit_vote or cfg.coherent_pll:
+            bit_val = jnp.where(bit_ip > 0, 1, 0)
+        else:
+            bit_val = jnp.where(pos_cnt > neg_cnt, 1, 0)
+        bit_ready = boundary & (votes > 0)
+        bit_epoch = epoch - votes
+        p2 = jnp.where(boundary, 0, pos_cnt)
+        n2 = jnp.where(boundary, 0, neg_cnt)
+        p2 = jnp.where((sync2 == 1) & (ip > 0), p2 + 1, p2)
+        n2 = jnp.where((sync2 == 1) & (ip <= 0), n2 + 1, n2)
+        ip_sum2 = jnp.where(boundary, 0.0, bit_ip)
+        ip_sum2 = jnp.where(sync2 == 1, ip_sum2 + ip, ip_sum2)
+        qp_sum2 = jnp.where(boundary, 0.0, bit_qp)
+        qp_sum2 = jnp.where(sync2 == 1, qp_sum2 + qp, qp_sum2)
+
+        # ---- state write-back (vector rows) -----------------------------------
+        f32_st[0] = new_cp
+        f32_st[1] = new_dop
+        f32_st[2] = new_ph
+        f32_st[3] = cerr
+        f32_st[4] = phase_err_store
+        f32_st[5] = perr
+        f32_st[6] = fdiff
+        f32_st[8] = snr_i2
+        f32_st[9] = snr_q2
+        f32_st[10] = snr_db2
+        f32_st[11] = ip_sum2
+        f32_st[12] = qp_sum2
+        i32_st[0] = jnp.ones_like(fll_primed)
+        i32_st[1] = sgn
+        i32_st[2] = ls2
+        i32_st[3] = rpc2
+        i32_st[4] = sync2
+        i32_st[5] = rem2
+        i32_st[6] = p2
+        i32_st[7] = n2
+        i32_st[8] = bad2
+        i32_st[9] = master2
+        i32_st[10] = cnt2
+        i32_st[11] = epoch + 1
+        i32_st[12] = wraps + wrapped_flag.astype(jnp.int32)
+
+        fz = jnp.zeros_like(ip)
+        out_ref[0] = jnp.concatenate([
+            ip, qp, cp, new_dop,
+            bit_ready.astype(f32), bit_val.astype(f32),
+            bit_epoch.astype(f32), sync2.astype(f32),
+            snr_db2, wrapped_flag.astype(f32),
+            ie, qe, il, ql, phase_err_store, fz,
+        ], axis=1)
 
         @pl.when(t == t_cnt - 1)
         def _store_state():
             for i in range(NF32):
-                for c in range(n_chan):
-                    f32_out[i, c] = f32_st[i, c]
+                f32_out[i] = f32_st[i]
             for i in range(NI32):
-                for c in range(n_chan):
-                    i32_out[i, c] = i32_st[i, c]
+                i32_out[i] = i32_st[i]
+            for i in range(win_len):
+                win_out[i] = win_st[i]
 
     return kernel
 
 
 class PallasScanState(NamedTuple):
-    """Packed kernel state: f32 (NF32, C) and i32 (NI32, C) planes
-    (row order = _F32_FIELDS / _I32_FIELDS)."""
+    """Packed kernel state: f32 (NF32, C, 1), i32 (NI32, C, 1) planes
+    (row order = _F32_FIELDS / _I32_FIELDS) and the watchdog sign
+    window (W, C, 1)."""
 
     f32: jnp.ndarray
     i32: jnp.ndarray
+    win: jnp.ndarray
 
 
-def state_from_track_state(ts) -> PallasScanState:
-    """Pack the production TrackState into the kernel's SMEM planes
-    (watchdog/SNR fields are dropped — not in-kernel, see module doc)."""
+def state_from_track_state(ts: TrackState) -> PallasScanState:
+    """Pack the production TrackState into the kernel's VMEM planes
+    (every TrackState field round-trips — see state_to_track_state)."""
     f32 = jnp.stack([
         ts.code_phase_chips, ts.doppler_hz, ts.carrier_phase_cycles,
         ts.dll_err_prev, ts.pll_err_prev, ts.fll_theta_prev,
         ts.fll_err_prev, ts.acq_doppler_hz,
-    ]).astype(jnp.float32)
-    win = ts.ip_sign_window.astype(jnp.int32)
+        ts.snr_i_sum, ts.snr_q_sum, ts.snr_db,
+        ts.bit_ip_sum, ts.bit_qp_sum,
+    ]).astype(jnp.float32)[..., None]
     i32 = jnp.stack([
         ts.fll_primed.astype(jnp.int32),
         ts.prev_ip_sign.astype(jnp.int32),
@@ -338,11 +431,49 @@ def state_from_track_state(ts) -> PallasScanState:
         ts.old_remainder.astype(jnp.int32),
         ts.bit_pos_cnt.astype(jnp.int32),
         ts.bit_neg_cnt.astype(jnp.int32),
-        win[:, 0], win[:, 1], win[:, 2], win[:, 3],
         ts.pll_bad_cnt.astype(jnp.int32),
         ts.pll_bad_master_cnt.astype(jnp.int32),
-    ])
-    return PallasScanState(f32=f32, i32=i32)
+        ts.snr_cnt.astype(jnp.int32),
+        ts.epoch_idx.astype(jnp.int32),
+        ts.code_wraps.astype(jnp.int32),
+    ])[..., None]
+    win = ts.ip_sign_window.astype(jnp.int32).T[..., None]
+    return PallasScanState(f32=f32, i32=i32, win=win)
+
+
+def state_to_track_state(ps: PallasScanState) -> TrackState:
+    """Unpack the kernel planes back into the production TrackState."""
+    f = ps.f32[..., 0]
+    i = ps.i32[..., 0]
+    return TrackState(
+        carrier_phase_cycles=f[2],
+        doppler_hz=f[1],
+        code_phase_chips=f[0],
+        dll_err_prev=f[3],
+        pll_err_prev=f[4],
+        fll_theta_prev=f[5],
+        fll_err_prev=f[6],
+        fll_primed=i[0].astype(bool),
+        ip_sign_window=ps.win[..., 0].T.astype(jnp.int8),
+        pll_bad_cnt=i[8],
+        pll_bad_master_cnt=i[9],
+        acq_doppler_hz=f[7],
+        snr_i_sum=f[8],
+        snr_q_sum=f[9],
+        snr_cnt=i[10],
+        snr_db=f[10],
+        prev_ip_sign=i[1].astype(jnp.int8),
+        last_swap_epoch=i[2],
+        right_period_cnt=i[3],
+        period_sync_ok=i[4].astype(bool),
+        old_remainder=i[5],
+        bit_pos_cnt=i[6],
+        bit_neg_cnt=i[7],
+        bit_ip_sum=f[11],
+        bit_qp_sum=f[12],
+        epoch_idx=i[11],
+        code_wraps=i[12],
+    )
 
 
 @functools.partial(
@@ -352,15 +483,18 @@ def pallas_track_scan(
     state: PallasScanState,
     epochs: jnp.ndarray,       # (T, S) complex64
     u2: jnp.ndarray,           # (C, U2P) doubled upsampled codes
-    start_epoch,               # int32 — ledger epoch of epochs[0]
-    plan: SignalPlan,
-    cfg: TrackConfig,
+    start_epoch=0,             # unused (epoch counter is per-channel state)
+    plan: SignalPlan = None,
+    cfg: TrackConfig = None,
     interpret: bool = False,
 ):
     """Run T epochs fully in-kernel.
 
     Returns ``(new_state, outs)`` with outs (T, C, NOUT) float32 — slot
-    layout documented at NOUT above."""
+    layout documented at NOUT above.  ``start_epoch`` is accepted for
+    API compatibility but ignored: the epoch counter is per-channel
+    kernel state (PallasScanState.i32 row 'epoch')."""
+    del start_epoch
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -368,49 +502,91 @@ def pallas_track_scan(
     assert s_cnt == S, "pallas scan requires the 2.046 MHz baseband plan"
     c = u2.shape[0]
     assert c % 8 == 0, "channel count must be a multiple of 8"
-    assert cfg.pll_check_window == 4, (
-        "in-kernel watchdog ring is compiled for pll_check_window=4")
+    win_len = state.win.shape[0]
+    assert win_len == cfg.pll_check_window
 
-    t_pad = -(-t_cnt // 8) * 8  # output rows padded to the sublane tile
     x = jnp.zeros((t_cnt, 2, SP), jnp.float32)
     x = x.at[:, 0, :S].set(epochs.real)
     x = x.at[:, 1, :S].set(epochs.imag)
-    start2 = jnp.reshape(jnp.asarray(start_epoch, jnp.int32), (1, 1))
 
-    kern = _kernel(cfg, plan, c, t_cnt)
-    out, f32_out, i32_out = pl.pallas_call(
+    kern = _kernel(cfg, plan, c, t_cnt, win_len)
+    out, f32_out, i32_out, win_out = pl.pallas_call(
         kern,
         grid=(t_cnt,),
         in_specs=[
-            pl.BlockSpec((NF32, c), lambda t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((NI32, c), lambda t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda t: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((NF32, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NI32, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win_len, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, SP), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, U2P), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, c * NOUT), lambda t: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((NF32, c), lambda t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((NI32, c), lambda t: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, NOUT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NF32, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NI32, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win_len, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, c * NOUT), jnp.float32),
-            jax.ShapeDtypeStruct((NF32, c), jnp.float32),
-            jax.ShapeDtypeStruct((NI32, c), jnp.int32),
+            jax.ShapeDtypeStruct((t_cnt, c, NOUT), jnp.float32),
+            jax.ShapeDtypeStruct((NF32, c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((NI32, c, 1), jnp.int32),
+            jax.ShapeDtypeStruct((win_len, c, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((NF32, c), jnp.float32),
-            pltpu.SMEM((NI32, c), jnp.int32),
+            pltpu.VMEM((NF32, c, 1), jnp.float32),
+            pltpu.VMEM((NI32, c, 1), jnp.int32),
+            pltpu.VMEM((win_len, c, 1), jnp.int32),
+            pltpu.VMEM((3, c, SP), jnp.float32),
+            pltpu.SMEM((c,), jnp.int32),
         ],
         interpret=interpret,
-    )(state.f32, state.i32, start2, x, u2)
-    outs = out[:t_cnt].reshape(t_cnt, c, NOUT)
-    return PallasScanState(f32=f32_out, i32=i32_out), outs
+    )(state.f32, state.i32, state.win, x, u2)
+    return PallasScanState(f32=f32_out, i32=i32_out, win=win_out), out
+
+
+def track_block_pallas(
+    state: TrackState,
+    epochs: jnp.ndarray,
+    u2: jnp.ndarray,
+    plan: SignalPlan,
+    cfg: TrackConfig,
+    interpret: bool = False,
+):
+    """Drop-in for track.scan.track_block running the in-kernel scan.
+
+    Same signature contract: ``(final TrackState, TrackOutputs with
+    (T, C) leaves)``.  E/L diagnostics honour cfg.emit_correlators."""
+    ps = state_from_track_state(state)
+    ps2, out = pallas_track_scan(
+        ps, epochs, u2, 0, plan=plan, cfg=cfg, interpret=interpret
+    )
+    new_state = state_to_track_state(ps2)
+    if cfg.emit_correlators:
+        diag = dict(ie=out[:, :, 10], qe=out[:, :, 11],
+                    il=out[:, :, 12], ql=out[:, :, 13])
+    else:
+        z = jnp.zeros((0,), jnp.float32)
+        diag = dict(ie=z, qe=z, il=z, ql=z)
+    outs = TrackOutputs(
+        ip=out[:, :, 0],
+        qp=out[:, :, 1],
+        **diag,
+        code_phase_chips=out[:, :, 2],
+        doppler_hz=out[:, :, 3],
+        snr_db=out[:, :, 8],
+        bit_ready=out[:, :, 4] > 0.5,
+        bit_value=out[:, :, 5].astype(jnp.int8),
+        bit_epoch=out[:, :, 6].astype(jnp.int32),
+        period_sync_ok=out[:, :, 7] > 0.5,
+        code_wrapped=out[:, :, 9] > 0.5,
+    )
+    return new_state, outs

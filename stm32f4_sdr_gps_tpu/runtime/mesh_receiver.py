@@ -84,7 +84,8 @@ class MeshReceiver(Receiver):
             samples, table, phases, dopplers, cfg.plan, cfg.track
         )
         state = init_state(len(tracked), refined, dopplers,
-                           start_epoch=start_epoch)
+                           start_epoch=start_epoch,
+                           window=cfg.track.pll_check_window)
         self.tracker = StreamingTracker(state, table, self.mesh,
                                         cfg.plan, cfg.track)
         for ch in live:

@@ -189,7 +189,8 @@ class Receiver:
         )
         self.code_table = jnp.asarray(table_np)
         self.track_state = init_state(
-            len(live), refined, dopplers, start_epoch=start_epoch
+            len(live), refined, dopplers, start_epoch=start_epoch,
+            window=cfg.track.pll_check_window,
         )
         for ch in live:
             ch.state_name = "TRACKING"
@@ -571,7 +572,8 @@ class Receiver:
                * (1.0 + dopplers / 1.57542e9))
         phases = (phases + adv) % 1023.0
         new_state = init_state(len(hits), phases, dopplers,
-                               start_epoch=self.epoch_cursor)
+                               start_epoch=self.epoch_cursor,
+                               window=cfg.track.pll_check_window)
         self.track_state = concat_states(self.track_state, new_state)
         self.code_table = jnp.concatenate(
             [self.code_table, jnp.asarray(table_new)], axis=0

@@ -96,8 +96,13 @@ def init_state(
     code_phase_chips: np.ndarray,
     doppler_hz: np.ndarray,
     start_epoch: int = 0,
+    window: int | None = None,
 ) -> TrackState:
+    """``window`` = watchdog sign-window width; must equal the
+    TrackConfig.pll_check_window the state will be scanned with."""
     c = num_channels
+    if window is None:
+        window = TrackConfig().pll_check_window
     f32 = lambda v: jnp.asarray(np.broadcast_to(v, (c,)), jnp.float32)
     i32z = jnp.zeros((c,), jnp.int32)
     return TrackState(
@@ -109,7 +114,7 @@ def init_state(
         fll_theta_prev=jnp.zeros((c,), jnp.float32),
         fll_err_prev=jnp.zeros((c,), jnp.float32),
         fll_primed=jnp.zeros((c,), bool),
-        ip_sign_window=jnp.zeros((c, TrackConfig().pll_check_window), jnp.int8),
+        ip_sign_window=jnp.zeros((c, window), jnp.int8),
         pll_bad_cnt=i32z,
         pll_bad_master_cnt=i32z,
         acq_doppler_hz=f32(doppler_hz),

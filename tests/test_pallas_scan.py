@@ -1,20 +1,26 @@
-"""In-kernel Pallas tracking scan vs the production lax.scan path.
+"""In-kernel Pallas tracking scan (v2) vs the production lax.scan path.
 
 Both paths use the identical half-chip-shift correlator semantics
-(ops.pallas_epl), so with the watchdog disabled the trajectories must
-agree to float32 rounding — including the integer bit-sync decisions.
-Runs in interpret mode on the CPU test mesh; the TPU-native wall-clock
-comparison is round-2 work (docs/ROADMAP.md §2).
+(ops.pallas_epl), so with matched configs the trajectories must agree
+to float32 rounding — including the integer bit-sync decisions, the
+in-kernel SNR estimator, the false-lock watchdog counters and the
+coherent-PLL mode.  Runs in interpret mode on the CPU test mesh; the
+TPU-native run is exercised by bench.py / test_pallas on device.
 """
+
+import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stm32f4_sdr_gps_tpu.config import BASEBAND_PLAN, TrackConfig
 from stm32f4_sdr_gps_tpu.ops.pallas_epl import upsampled_code_doubled
 from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import (
     pallas_track_scan,
     state_from_track_state,
+    state_to_track_state,
+    track_block_pallas,
 )
 from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar
 from stm32f4_sdr_gps_tpu.signal.simulator import SimSat, simulate_capture
@@ -42,68 +48,128 @@ def _scenario(num_epochs, seed=11):
     return x, sats
 
 
-def test_in_kernel_scan_matches_production_scan():
-    E = 90
-    x, sats = _scenario(E)
+def _run_both(E, cfg, seed=11, cp_off=0.1, dop_off=15.0):
+    x, sats = _scenario(E, seed=seed)
     epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
     table = ca_table_bipolar(PRNS)
     u2 = jnp.asarray(upsampled_code_doubled(table))
+    st0 = init_state(
+        len(PRNS),
+        np.array([s.code_phase_chips + cp_off for s in sats]),
+        np.array([s.doppler_hz + dop_off for s in sats]),
+        window=cfg.pll_check_window,
+    )
+    st_ref, out_ref = track_block(st0, epochs, u2, PLAN, cfg)
+    st_k, out_k = track_block_pallas(st0, epochs, u2, PLAN, cfg,
+                                     interpret=True)
+    return st_ref, out_ref, st_k, out_k
 
-    cp0 = np.array([s.code_phase_chips + 0.1 for s in sats])
-    dop0 = np.array([s.doppler_hz + 15.0 for s in sats])
-    st0 = init_state(len(PRNS), cp0, dop0)
 
-    # watchdog unreachable: the kernel does not implement it (module doc)
+def _assert_outputs_match(out_ref, out_k):
+    # the kernel's polynomial Costas discriminator differs from atan2 by
+    # <4e-6 half-cycles/epoch; over ~100 closed-loop epochs that drifts
+    # the carrier phase (hence I/Q) by a few parts in 1e3
+    np.testing.assert_allclose(np.asarray(out_k.ip),
+                               np.asarray(out_ref.ip), rtol=2e-2, atol=2.0)
+    np.testing.assert_allclose(np.asarray(out_k.qp),
+                               np.asarray(out_ref.qp), rtol=2e-2, atol=2.0)
+    np.testing.assert_allclose(np.asarray(out_k.code_phase_chips),
+                               np.asarray(out_ref.code_phase_chips),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_k.doppler_hz),
+                               np.asarray(out_ref.doppler_hz), atol=0.5)
+    np.testing.assert_allclose(np.asarray(out_k.snr_db),
+                               np.asarray(out_ref.snr_db), atol=0.1)
+    # integer decisions must agree exactly
+    np.testing.assert_array_equal(np.asarray(out_k.bit_ready),
+                                  np.asarray(out_ref.bit_ready))
+    np.testing.assert_array_equal(np.asarray(out_k.period_sync_ok),
+                                  np.asarray(out_ref.period_sync_ok))
+    ready = np.asarray(out_ref.bit_ready)
+    np.testing.assert_array_equal(np.asarray(out_k.bit_value)[ready],
+                                  np.asarray(out_ref.bit_value)[ready])
+    np.testing.assert_array_equal(np.asarray(out_k.bit_epoch)[ready],
+                                  np.asarray(out_ref.bit_epoch)[ready])
+    assert ready.any(), "scenario never produced a nav bit"
+
+
+def _assert_states_match(st_ref, st_k):
+    np.testing.assert_allclose(np.asarray(st_k.code_phase_chips),
+                               np.asarray(st_ref.code_phase_chips),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st_k.doppler_hz),
+                               np.asarray(st_ref.doppler_hz), atol=0.5)
+    np.testing.assert_allclose(np.asarray(st_k.snr_db),
+                               np.asarray(st_ref.snr_db), atol=0.1)
+    for f in ("fll_primed", "prev_ip_sign", "last_swap_epoch",
+              "right_period_cnt", "period_sync_ok", "old_remainder",
+              "bit_pos_cnt", "bit_neg_cnt", "pll_bad_cnt",
+              "pll_bad_master_cnt", "snr_cnt", "epoch_idx", "code_wraps",
+              "ip_sign_window"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_k, f)).astype(np.int32),
+            np.asarray(getattr(st_ref, f)).astype(np.int32), err_msg=f)
+
+
+def test_in_kernel_scan_matches_production_scan():
     cfg = TrackConfig(
         codes_in_bit=CIB,
         use_pallas=True,
         pallas_interpret=True,
         pll_bad_state_threshold=10**6,
     )
+    st_ref, out_ref, st_k, out_k = _run_both(90, cfg)
+    _assert_outputs_match(out_ref, out_k)
+    _assert_states_match(st_ref, st_k)
 
-    st_ref, out_ref = track_block(st0, epochs, u2, PLAN, cfg)
 
-    k0 = state_from_track_state(st0)
-    k_end, outs = pallas_track_scan(
-        k0, epochs, u2, 0, PLAN, cfg, interpret=True
+def test_in_kernel_watchdog_window_not_4():
+    """v2 lifts the pll_check_window==4 restriction."""
+    cfg = TrackConfig(
+        codes_in_bit=CIB,
+        use_pallas=True,
+        pallas_interpret=True,
+        pll_check_window=6,
+        pll_bad_state_threshold=10**6,
     )
-    outs = np.asarray(outs)
+    st_ref, out_ref, st_k, out_k = _run_both(60, cfg)
+    _assert_outputs_match(out_ref, out_k)
+    _assert_states_match(st_ref, st_k)
 
-    # the kernel's polynomial Costas discriminator differs from atan2 by
-    # <4e-6 half-cycles/epoch; over 90 closed-loop epochs that drifts
-    # the carrier phase (hence I/Q) by a few parts in 1e3
-    np.testing.assert_allclose(
-        outs[:, :, 0], np.asarray(out_ref.ip), rtol=2e-2, atol=2.0)
-    np.testing.assert_allclose(
-        outs[:, :, 1], np.asarray(out_ref.qp), rtol=2e-2, atol=2.0)
-    np.testing.assert_allclose(
-        outs[:, :, 2], np.asarray(out_ref.code_phase_chips),
-        atol=5e-3)
-    np.testing.assert_allclose(
-        outs[:, :, 3], np.asarray(out_ref.doppler_hz), atol=0.5)
 
-    # integer bit-sync decisions must agree exactly
+def test_in_kernel_watchdog_counters_live():
+    """Watchdog counters accumulate identically on a junk channel (state
+    initialized far off the true code phase -> noise prompts)."""
+    cfg = TrackConfig(
+        codes_in_bit=CIB,
+        use_pallas=True,
+        pallas_interpret=True,
+        pll_bad_state_threshold=10**6,   # no kick: counters must MATCH
+    )
+    st_ref, out_ref, st_k, out_k = _run_both(
+        60, cfg, cp_off=300.0, dop_off=15.0)   # 300 chips off: pure noise
     np.testing.assert_array_equal(
-        outs[:, :, 4] > 0.5, np.asarray(out_ref.bit_ready))
+        np.asarray(st_k.pll_bad_cnt), np.asarray(st_ref.pll_bad_cnt))
     np.testing.assert_array_equal(
-        outs[:, :, 7] > 0.5, np.asarray(out_ref.period_sync_ok))
-    ready = outs[:, :, 4] > 0.5
-    np.testing.assert_array_equal(
-        outs[:, :, 5][ready],
-        np.asarray(out_ref.bit_value).astype(np.float32)[ready])
-    np.testing.assert_array_equal(
-        outs[:, :, 6][ready],
-        np.asarray(out_ref.bit_epoch).astype(np.float32)[ready])
-    assert ready.any(), "scenario never produced a nav bit"
+        np.asarray(st_k.pll_bad_master_cnt),
+        np.asarray(st_ref.pll_bad_master_cnt))
+    assert np.asarray(st_ref.pll_bad_cnt).max() > 0, \
+        "junk scenario never tripped the watchdog counters"
 
-    # final state planes
-    k_ref = state_from_track_state(st_ref)
-    np.testing.assert_allclose(
-        np.asarray(k_end.f32)[0], np.asarray(k_ref.f32)[0], atol=5e-3)
-    np.testing.assert_allclose(
-        np.asarray(k_end.f32)[1], np.asarray(k_ref.f32)[1], atol=0.5)
-    np.testing.assert_array_equal(
-        np.asarray(k_end.i32)[1:], np.asarray(k_ref.i32)[1:])
+
+def test_in_kernel_coherent_pll_mode():
+    """The 20 ms coherent-PLL mode (grid-locked bit sync + whole-bit
+    Costas) runs in-kernel and matches the production scan."""
+    cfg = TrackConfig(
+        codes_in_bit=CIB,
+        use_pallas=True,
+        pallas_interpret=True,
+        coherent_pll=True,
+        pll_bad_state_threshold=10**6,
+    )
+    st_ref, out_ref, st_k, out_k = _run_both(90, cfg)
+    _assert_outputs_match(out_ref, out_k)
+    _assert_states_match(st_ref, st_k)
 
 
 def test_in_kernel_scan_is_resumable():
@@ -124,11 +190,11 @@ def test_in_kernel_scan_is_resumable():
     k0 = state_from_track_state(st0)
 
     k_full, out_full = pallas_track_scan(
-        k0, epochs, u2, 0, PLAN, cfg, interpret=True)
+        k0, epochs, u2, plan=PLAN, cfg=cfg, interpret=True)
     k_a, out_a = pallas_track_scan(
-        k0, epochs[:40], u2, 0, PLAN, cfg, interpret=True)
+        k0, epochs[:40], u2, plan=PLAN, cfg=cfg, interpret=True)
     k_b, out_b = pallas_track_scan(
-        k_a, epochs[40:], u2, 40, PLAN, cfg, interpret=True)
+        k_a, epochs[40:], u2, plan=PLAN, cfg=cfg, interpret=True)
 
     np.testing.assert_allclose(
         np.asarray(out_full),
@@ -138,3 +204,14 @@ def test_in_kernel_scan_is_resumable():
         np.asarray(k_full.f32), np.asarray(k_b.f32), rtol=1e-6)
     np.testing.assert_array_equal(
         np.asarray(k_full.i32), np.asarray(k_b.i32))
+    np.testing.assert_array_equal(
+        np.asarray(k_full.win), np.asarray(k_b.win))
+
+
+def test_state_pack_roundtrip():
+    st0 = init_state(8, np.linspace(0, 1000, 8), np.linspace(-4e3, 4e3, 8))
+    st1 = state_to_track_state(state_from_track_state(st0))
+    for f in st0._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st0, f)), np.asarray(getattr(st1, f)),
+            err_msg=f)
