@@ -291,6 +291,12 @@ class ReceiverConfig:
     enable_position: bool = True      # ENABLE_CALC_POSITION (config.h:33)
     enable_rtcm: bool = False         # ENABLE_RTCM_SEND (config.h:30)
     track_block_epochs: int = 100     # epochs per jitted tracking scan call
+    # Device-resident readback (runtime.digest): reduce each block's
+    # (T, C) tracking outputs to a ~kB digest ON DEVICE (bit events +
+    # last-epoch state + windowed statistics) instead of pulling them
+    # all to the host.  Auto-disabled when the aided-sync/coherent
+    # chain or correlator diagnostics need the full outputs.
+    device_digest: bool = True
     # Background re-acquisition of not-yet-detected PRNs during
     # streaming (late-rising satellites); 0 disables.  The firmware's
     # channel set is fixed at compile time.
@@ -330,6 +336,28 @@ class ReceiverConfig:
     # always require the two-window agreement.
     aided_sync_repeat_sigma: float = 3.5
     aided_sync_single_sigma: float = 6.0
+    # Physical plausibility gate on converged solutions
+    # (pvt.solve.solution_plausible): closes the 4-satellite
+    # boundary-integrity hole where a single channel's integer-ms grid
+    # fault yields a converged ZERO-residual wrong fix that no residual
+    # test can see.  Altitude window covers terrestrial + aviation
+    # users; the clock-bias window is asymmetric because the relative
+    # pseudorange convention makes the solved bias 68.802 ms - TOF_ref
+    # (see pvt.solve.solution_plausible).  min>=max disables either
+    # window.
+    # The Doppler-implied receiver speed is the sharpest discriminator
+    # (a wrong position forces a km/s-scale phantom velocity); 600 m/s
+    # covers any aircraft.  0 disables.
+    min_altitude_m: float = -1000.0
+    max_altitude_m: float = 100_000.0
+    min_clock_bias_ms: float = -18.0
+    max_clock_bias_ms: float = 2.0
+    max_speed_mps: float = 600.0
+    # When a solution fails the plausibility gate, search for a unique
+    # single-channel integer-ms fault (pvt.solve.identify_grid_fault)
+    # and, if found, correct the fix AND the channel's boundary ledger
+    # going forward (ChannelStatus.grid_bias_ms).  False = reject only.
+    grid_fault_search: bool = True
 
     def replace(self, **kw) -> "ReceiverConfig":
         return dataclasses.replace(self, **kw)

@@ -86,8 +86,12 @@ def _sync_marker(receiver, ch) -> str:
     return "COH" if coherent else "BIT"
 
 
-def render_status(receiver, vt100: bool = False) -> str:
-    """One status screen for a runtime.Receiver."""
+def render_status(receiver, vt100: bool = False,
+                  profile: bool = False) -> str:
+    """One status screen for a runtime.Receiver.
+
+    ``profile=True`` appends the per-stage timing report
+    (utils.profiling.Profiler — the DWT-timer observability role)."""
     out = []
     if vt100:
         out.append("\x1b[2J\x1b[H")
@@ -136,4 +140,8 @@ def render_status(receiver, vt100: bool = False) -> str:
         out.append(plot.render())
     else:
         out.append("POS  (no fix)")
+    if profile and getattr(receiver, "profiler", None) is not None \
+            and receiver.profiler.stages:
+        out.append("")
+        out.append(receiver.profiler.report())
     return "\n".join(out)

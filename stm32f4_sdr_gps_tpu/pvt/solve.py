@@ -261,6 +261,108 @@ def solve_velocity(obs_list, rs, sol: Solution) -> bool:
     return True
 
 
+def solution_plausible(
+    sol: Solution,
+    min_altitude_m: float = -1000.0,
+    max_altitude_m: float = 100_000.0,
+    min_clock_bias_ms: float = -18.0,
+    max_clock_bias_ms: float = 2.0,
+    max_speed_mps: float = 600.0,
+) -> bool:
+    """Physical plausibility gate for a converged solution.
+
+    At exactly 4 satellites a single channel whose nav-bit grid settled
+    an integer number of ms wrong produces a CONVERGED, zero-residual,
+    wrong fix (4 obs / 4 unknowns — no redundancy for RAIM or the
+    residual-RMS gate).  But the wrong fix is not physically plausible:
+    a 1-3 ms grid fault moves the altitude by 700-2500 km and the
+    receiver clock bias by the same scale (measured in test_pvt), while
+    a terrestrial receiver sits within ~[-1, +100] km of the ellipsoid.
+
+    The clock-bias window is ASYMMETRIC because pseudoranges are formed
+    with the firmware's relative convention ``P_ref = 68.802 ms * c``
+    (GPS_OFFSET_TIME_MS, gps_master.c:31): the solved bias is then
+    ``68.802 ms - TOF_ref`` plus the true (sub-ms, TOW-derived) clock
+    error, and the reference satellite's TOF physically spans
+    [~67.3 ms zenith, ~86 ms horizon] -> legitimate bias in about
+    [-17.2, +1.5] ms.
+
+    The Doppler-implied speed is the sharpest discriminator when
+    Doppler observations exist: at a wrong position the satellite LOS
+    geometry is wrong, so the velocity fit must absorb ~|dLOS| x 3.9
+    km/s of mismatch — measured km/s-scale implied speed for a fix a
+    few Mm off, vs <1 m/s at the true position (test_pvt).  The
+    capability class of the firmware's commented-out ``valsol``
+    residual check (solving.c:436-439), extended with the geometry-free
+    constraints the firmware never used.
+    """
+    if not sol.ok:
+        return False
+    alt = float(sol.pos_llh[2])
+    if not (min_altitude_m <= alt <= max_altitude_m):
+        return False
+    if min_clock_bias_ms < max_clock_bias_ms and not (
+        min_clock_bias_ms <= sol.dtr_s * 1e3 <= max_clock_bias_ms
+    ):
+        return False
+    if (max_speed_mps > 0.0 and sol.vel is not None
+            and float(np.linalg.norm(sol.vel)) > max_speed_mps):
+        return False
+    return True
+
+
+def identify_grid_fault(
+    obs_list: List[Obs],
+    eph_map: Dict[int, object],
+    x0=None,
+    ion_params=None,
+    max_shift_ms: int = 4,
+    min_altitude_m: float = -1000.0,
+    max_altitude_m: float = 100_000.0,
+    min_clock_bias_ms: float = -18.0,
+    max_clock_bias_ms: float = 2.0,
+    max_speed_mps: float = 600.0,
+    resid_gate_m: float = 30.0,
+):
+    """Search for a single-channel integer-ms pseudorange fault.
+
+    Hypothesis search over (channel, shift): re-solve with obs[i].P
+    shifted by s ms of light time for every i and s in
+    [-max_shift_ms, +max_shift_ms]\\{0}; a hypothesis survives when the
+    corrected solution is plausible (solution_plausible) and its
+    residual RMS stays under ``resid_gate_m``.  Returns
+    ``(solution, obs_index, shift_ms)`` when exactly ONE hypothesis
+    survives — a unique identification — else None (ambiguous or no
+    fault found; callers must then reject the epoch).
+
+    The sign convention matches the observables ledger: shift_ms > 0
+    means the channel's subframe boundary was recorded shift_ms too
+    EARLY (its pseudorange was short), so the channel's
+    ``subframe_time_ms`` should be increased by shift_ms.
+    """
+    ms = CLIGHT * 1e-3
+    survivors = []
+    for i in range(len(obs_list)):
+        for s in range(-max_shift_ms, max_shift_ms + 1):
+            if s == 0:
+                continue
+            trial = [Obs(sat=o.sat, time=o.time, P=o.P, D=o.D, snr=o.snr,
+                         L=o.L) for o in obs_list]
+            trial[i].P += s * ms
+            sol = pntpos(trial, eph_map, x0=x0, ion_params=ion_params)
+            if not solution_plausible(sol, min_altitude_m, max_altitude_m,
+                                      min_clock_bias_ms, max_clock_bias_ms,
+                                      max_speed_mps):
+                continue
+            if sol.residuals is not None and len(sol.residuals) and \
+                    float(np.sqrt(np.mean(sol.residuals**2))) > resid_gate_m:
+                continue
+            survivors.append((sol, i, s))
+    if len(survivors) == 1:
+        return survivors[0]
+    return None
+
+
 def pntpos(obs_list: List[Obs], eph_map: Dict[int, object],
            x0=None, ion_params=None, raim_threshold_m: float = 0.0
            ) -> Solution:

@@ -1,0 +1,151 @@
+"""Device-side block digest: shrink per-block host readback to events.
+
+The default receiver loop pulls every (T, C) tracking output to the
+host each block (~2.3 MB per 2000-epoch 32-channel block) even though
+the host only consumes ~50 bps/channel of it: nav-bit events, the
+last-epoch loop state, and a few windowed statistics.  This module
+reduces the whole block ON DEVICE to a fixed-shape digest (~40 kB),
+computed inside the same jit as the tracking scan so the raw outputs
+never leave the device:
+
+* nav-bit events, compacted to a static capacity of T//codes_in_bit + 2
+  per channel (stable argsort trick — XLA has no ragged outputs);
+* last-epoch code phase / Doppler / SNR / sync flags;
+* the drift-detrended code-phase filter (gps_master_filter_code_phase
+  capability, gps_master.c:332-388) evaluated on device;
+* M2M4 C/N0 moments over bit-edge-clean epochs (the host previously
+  pulled full I/Q prompt streams just to compute two moments);
+* the block's Doppler integral (carrier-phase observable increment).
+
+This is the TPU-native form of the firmware's ISR→mainline hand-off,
+which likewise forwards only decoded bits and loop state, never raw
+samples (nav_data.c:46-138 consumes the prompt sign, not the buffer).
+It also makes the full receiver runnable on transports where bulk
+device→host reads are slow or broken (docs/SCALING.md §1).
+
+Not available when the aided-sync/coherent weak-signal chain is active:
+that path genuinely needs the prompt history on the host
+(runtime.receiver._maybe_aided_sync); the receiver falls back to full
+readback there.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CODE_LENGTH, FREQ_L1_HZ, TrackConfig
+
+
+class BlockDigest(NamedTuple):
+    """Fixed-shape per-block summary (leaves sized (K, C) or (C,))."""
+
+    bit_count: jnp.ndarray       # (C,) i32 — events this block
+    bit_value: jnp.ndarray       # (K, C) i8, valid rows < bit_count
+    bit_epoch: jnp.ndarray       # (K, C) i32
+    code_phase_chips: jnp.ndarray  # (C,) f32 — last epoch
+    code_phase_filtered: jnp.ndarray  # (C,) f32 — detrended mean
+    doppler_hz: jnp.ndarray      # (C,) f32 — last epoch
+    doppler_sum: jnp.ndarray     # (C,) f32 — sum over the block
+    snr_db: jnp.ndarray          # (C,) f32 — last epoch
+    period_sync_ok: jnp.ndarray  # (C,) bool — last epoch
+    sync_any_loss: jnp.ndarray   # (C,) bool — any un-synced epoch
+    last_unsync_epoch: jnp.ndarray  # (C,) i32 — block-relative, -1 if none
+    cn0_m2: jnp.ndarray          # (C,) f32 — mean prompt power (clean)
+    cn0_m4: jnp.ndarray          # (C,) f32 — mean squared power (clean)
+    cn0_n: jnp.ndarray           # (C,) i32 — clean epochs used
+
+
+def digest_block(outs, cfg: TrackConfig, code_filter_len: int,
+                 enable_code_filter: bool) -> BlockDigest:
+    """Reduce TrackOutputs (T, C) to a BlockDigest — pure jnp, runs
+    under the same jit as the tracking scan."""
+    ready = outs.bit_ready
+    t_cnt, c_cnt = ready.shape
+    cap = t_cnt // max(cfg.codes_in_bit, 1) + 2
+
+    # compact ragged bit events to (cap, C): stable sort puts ready
+    # epochs first in time order
+    t_idx = jnp.arange(t_cnt, dtype=jnp.int32)[:, None]
+    key = jnp.where(ready, t_idx, t_cnt + t_idx)
+    order = jnp.argsort(key, axis=0, stable=True)[:cap]
+    take = lambda a: jnp.take_along_axis(a, order, axis=0)  # noqa: E731
+    bit_count = ready.sum(axis=0).astype(jnp.int32)
+    bit_value = take(outs.bit_value.astype(jnp.int8))
+    bit_epoch = take(outs.bit_epoch.astype(jnp.int32))
+
+    # M2M4 C/N0 moments over bit-edge-clean epochs (the edge epoch and
+    # its predecessor carry attenuated prompts — receiver._m2m4_cn0)
+    nxt = jnp.concatenate(
+        [ready[1:], jnp.zeros((1, c_cnt), ready.dtype)], axis=0)
+    clean = ~(ready | nxt)
+    p = outs.ip * outs.ip + outs.qp * outs.qp
+    n_clean = clean.sum(axis=0).astype(jnp.int32)
+    denom = jnp.maximum(n_clean.astype(jnp.float32), 1.0)
+    m2 = jnp.sum(jnp.where(clean, p, 0.0), axis=0) / denom
+    # scale p by 1/m2 before squaring so the f32 fourth moment keeps
+    # relative precision independent of signal level
+    m2s = jnp.maximum(m2, 1e-20)
+    pn = p / m2s[None, :]
+    m4 = jnp.sum(jnp.where(clean, pn * pn, 0.0), axis=0) / denom
+
+    # drift-detrended code filter (receiver._filtered_code_phase math)
+    cp = outs.code_phase_chips
+    dop_last = outs.doppler_hz[-1]
+    if enable_code_filter:
+        k = min(code_filter_len, t_cnt)
+        seg = cp[-k:]
+        drift = CODE_LENGTH * dop_last / jnp.float32(FREQ_L1_HZ)
+        expected = drift[None, :] * (
+            jnp.arange(k, dtype=jnp.float32)[:, None] - (k - 1))
+        resid = seg - seg[-1][None, :] - expected
+        resid = jnp.mod(resid + CODE_LENGTH / 2,
+                        CODE_LENGTH) - CODE_LENGTH / 2
+        cp_filt = jnp.mod(seg[-1] + resid.mean(axis=0),
+                          jnp.float32(CODE_LENGTH))
+    else:
+        cp_filt = cp[-1]
+
+    sync = outs.period_sync_ok
+    unsync = ~sync
+    any_loss = unsync.any(axis=0)
+    last_unsync = jnp.where(
+        any_loss,
+        (t_cnt - 1) - jnp.argmax(unsync[::-1], axis=0).astype(jnp.int32),
+        -1,
+    )
+
+    return BlockDigest(
+        bit_count=bit_count,
+        bit_value=bit_value,
+        bit_epoch=bit_epoch,
+        code_phase_chips=cp[-1],
+        code_phase_filtered=cp_filt,
+        doppler_hz=dop_last,
+        doppler_sum=outs.doppler_hz.sum(axis=0),
+        snr_db=outs.snr_db[-1],
+        period_sync_ok=sync[-1],
+        sync_any_loss=any_loss,
+        last_unsync_epoch=last_unsync,
+        cn0_m2=m2,
+        cn0_m4=m4 * m2s * m2s,
+        cn0_n=n_clean,
+    )
+
+
+def cn0_from_moments(m2: float, m4: float, n: int,
+                     epoch_s: float = 1e-3) -> float:
+    """M2M4 C/N0 (dB-Hz) from the digest's moments (matches
+    receiver._m2m4_cn0 up to f32 moment accumulation)."""
+    import numpy as np
+
+    if n < 16:
+        return 0.0
+    pd = np.sqrt(max(2.0 * m2 * m2 - m4, 0.0))
+    pn = m2 - pd
+    if pd <= 0.0 or pn <= 0.0:
+        return 0.0
+    return float(10.0 * np.log10(pd / pn / epoch_s))

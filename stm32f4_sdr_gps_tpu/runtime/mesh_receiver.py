@@ -95,8 +95,10 @@ class MeshReceiver(Receiver):
         cfg = self.config
         spe = cfg.plan.samples_per_epoch
         n_epochs = len(samples) // spe
-        outs = self.tracker.process(samples[: n_epochs * spe])
-        self._consume_outputs(outs, n_epochs)
+        with self.profiler.stage("track", budget_s=n_epochs * 1e-3).time():
+            outs = self.tracker.process(samples[: n_epochs * spe])
+        with self.profiler.stage("decode").time():
+            self._consume_outputs(outs, n_epochs)
         # aided bit sync operates on the sharded state directly: the
         # engage updates are elementwise jnp.where ops, so the result
         # feeds straight back into the sharded scan (pjit re-shards)

@@ -21,9 +21,11 @@ The whole receiver state is checkpointable (runtime.checkpoint).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +40,22 @@ from ..signal.ca_code import ca_table_bipolar
 from ..track.pretrack import refine_code_phase
 from ..track.scan import track_block
 from ..track.state import TrackState, concat_states, init_state
+from ..utils.profiling import Profiler
+from .digest import digest_block
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "cfg", "code_filter_len",
+                     "enable_code_filter"),
+)
+def _track_and_digest(state, epochs, code_table, plan, cfg,
+                      code_filter_len, enable_code_filter):
+    """Tracking scan + on-device block digest in ONE jit: the (T, C)
+    outputs never materialize on the host (runtime.digest)."""
+    state, outs = track_block(state, epochs, code_table, plan, cfg)
+    return state, digest_block(outs, cfg, code_filter_len,
+                               enable_code_filter)
 
 
 @dataclass
@@ -77,6 +95,12 @@ class ChannelStatus:
     # for continuous carrier lock (losing it means the phase history
     # is no longer trustworthy, so the phaserange also re-aligns).
     lock_start_ms: int = -1
+    # persistent integer-ms correction to the channel's subframe
+    # boundary ledger, set when identify_grid_fault pins a wrong nav-bit
+    # grid on this channel (the slip-floor failure mode); applied to
+    # every observation the channel contributes until the grid re-syncs
+    grid_bias_ms: int = 0
+    grid_faults: int = 0
 
 
 def _m2m4_cn0(ip: np.ndarray, qp: np.ndarray,
@@ -132,6 +156,10 @@ class Receiver:
         self._aided_low_conf = np.zeros(0, int)
         self._pending_phase = np.full(0, -1)
         self._pending_cnt = np.zeros(0, int)
+        # per-stage wall-clock profiler (the DWT timer / solver
+        # budget-alarm role, delay_us_timer.c + solving.c:119-138);
+        # the 'track' stage budget is the real-time budget of one block
+        self.profiler = Profiler()
 
     # -- stages -----------------------------------------------------------
 
@@ -149,8 +177,9 @@ class Receiver:
                 hints[int(prn)] = float(h)
         if extra_hints:
             hints.update(extra_hints)
-        results = acquire(samples, list(cfg.prns), cfg.plan, cfg.acq,
-                          doppler_hints_hz=hints or None)
+        with self.profiler.stage("acquire").time():
+            results = acquire(samples, list(cfg.prns), cfg.plan, cfg.acq,
+                              doppler_hints_hz=hints or None)
         for ch, res in zip(self.channels, results):
             ch.acq = res
             ch.state_name = "ACQ_DONE" if res.detected else "ACQ_FAILED"
@@ -184,9 +213,10 @@ class Receiver:
                            num_epochs=fine_epochs)
             for ch in live
         ])
-        refined = refine_code_phase(
-            samples, table_np, phases, dopplers, cfg.plan, cfg.track
-        )
+        with self.profiler.stage("pretrack").time():
+            refined = refine_code_phase(
+                samples, table_np, phases, dopplers, cfg.plan, cfg.track
+            )
         self.code_table = jnp.asarray(table_np)
         self.track_state = init_state(
             len(live), refined, dopplers, start_epoch=start_epoch,
@@ -194,6 +224,19 @@ class Receiver:
         )
         for ch in live:
             ch.state_name = "TRACKING"
+
+    @property
+    def _digest_active(self) -> bool:
+        """Device-digest readback mode (runtime.digest): on unless a
+        consumer genuinely needs the full (T, C) outputs on the host —
+        the aided-sync weak-signal chain (prompt history) or correlator
+        diagnostics."""
+        cfg = self.config
+        return (
+            cfg.device_digest
+            and not (cfg.track.coherent_pll and cfg.aided_sync_window_ms)
+            and not cfg.track.emit_correlators
+        )
 
     def process_block(self, samples: np.ndarray) -> None:
         """Stages 3-5 for one block of whole epochs."""
@@ -203,10 +246,27 @@ class Receiver:
         epochs = jnp.asarray(
             samples[: n_epochs * spe].reshape(n_epochs, spe), jnp.complex64
         )
-        self.track_state, outs = track_block(
-            self.track_state, epochs, self.code_table, cfg.plan, cfg.track
-        )
-        self._consume_outputs(outs, n_epochs)
+        if self._digest_active:
+            # device-resident loop: the (T, C) outputs never leave the
+            # device — one jit returns the new state + a ~kB digest
+            with self.profiler.stage(
+                "track", budget_s=n_epochs * 1e-3
+            ).time():
+                self.track_state, d = _track_and_digest(
+                    self.track_state, epochs, self.code_table, cfg.plan,
+                    cfg.track, cfg.code_filter_len, cfg.enable_code_filter
+                )
+            with self.profiler.stage("decode").time():
+                self._consume_digest(d, n_epochs)
+            self.epoch_cursor += n_epochs
+            return
+        with self.profiler.stage("track", budget_s=n_epochs * 1e-3).time():
+            self.track_state, outs = track_block(
+                self.track_state, epochs, self.code_table, cfg.plan,
+                cfg.track
+            )
+        with self.profiler.stage("decode").time():
+            self._consume_outputs(outs, n_epochs)
         self._maybe_aided_sync(outs, n_epochs,
                                samples[: n_epochs * spe])
         self.epoch_cursor += n_epochs
@@ -341,23 +401,9 @@ class Receiver:
         for c, ch in enumerate(self.channels):
             events = np.nonzero(bit_ready[:, c])[0]
             for t in events:
-                ch.bit_count += 1
-                for sf in ch.framer.push_bit(
-                    int(bit_value[t, c]), int(bit_epoch[t, c])
-                ):
-                    decode_subframe(sf.bits, ch.eph)
-                    ch.eph.sat = ch.prn
-                    ch.subframe_count += 1
-                    # boundary the HOW TOW labels = subframe start + 6 s
-                    # (300 bits x codes_in_bit ms per bit)
-                    sf_ms = (WORDS_IN_SUBFRAME * WORD_LENGTH_BITS
-                             * cfg.track.codes_in_bit)
-                    boundary = self._dejitter_boundary(
-                        ch, sf.start_epoch_ms + sf_ms,
-                        cfg.track.codes_in_bit,
-                    )
-                    ch.subframe_time_ms = boundary
-                    ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
+                self._push_channel_bit(
+                    ch, int(bit_value[t, c]), int(bit_epoch[t, c])
+                )
             ch.snr_db = float(snr[-1, c])
             sync_c = np.asarray(outs.period_sync_ok)[:, c]
             ch.bit_synced = bool(sync_c[-1])
@@ -395,17 +441,77 @@ class Receiver:
                     cp[:, c], ch.doppler_hz
                 )
 
-        # PVT at the solve cadence (gps_master.c:392-425)
-        end_ms = self.epoch_cursor + n_epochs
+        self._run_cadences(self.epoch_cursor + n_epochs)
+
+    def _push_channel_bit(self, ch: ChannelStatus, value: int,
+                          epoch: int) -> None:
+        """One demodulated nav bit → framer → subframe/ephemeris/ledger
+        (shared by the full-readback and digest paths)."""
+        cfg = self.config
+        ch.bit_count += 1
+        for sf in ch.framer.push_bit(value, epoch):
+            decode_subframe(sf.bits, ch.eph)
+            ch.eph.sat = ch.prn
+            ch.subframe_count += 1
+            # boundary the HOW TOW labels = subframe start + 6 s
+            # (300 bits x codes_in_bit ms per bit)
+            sf_ms = (WORDS_IN_SUBFRAME * WORD_LENGTH_BITS
+                     * cfg.track.codes_in_bit)
+            boundary = self._dejitter_boundary(
+                ch, sf.start_epoch_ms + sf_ms, cfg.track.codes_in_bit,
+            )
+            ch.subframe_time_ms = boundary
+            ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
+
+    def _consume_digest(self, d, n_epochs: int) -> None:
+        """Host side of the device-resident loop: the BlockDigest is
+        the only device→host transfer (runtime.digest)."""
+        import jax
+
+        from .digest import cn0_from_moments
+
+        cfg = self.config
+        d = jax.tree.map(np.asarray, d)
+        for c, ch in enumerate(self.channels):
+            for k in range(int(d.bit_count[c])):
+                self._push_channel_bit(
+                    ch, int(d.bit_value[k, c]), int(d.bit_epoch[k, c])
+                )
+            ch.snr_db = float(d.snr_db[c])
+            ch.bit_synced = bool(d.period_sync_ok[c])
+            if not ch.bit_synced:
+                if ch.lock_start_ms >= 0:
+                    ch.lock_start_ms = -1
+                    ch.rtcm_phase_align_m = 0.0
+            else:
+                if d.sync_any_loss[c]:
+                    ch.lock_start_ms = (
+                        self.epoch_cursor + int(d.last_unsync_epoch[c]) + 1
+                    )
+                    ch.rtcm_phase_align_m = 0.0
+                elif ch.lock_start_ms < 0:
+                    ch.lock_start_ms = self.epoch_cursor
+            ch.cn0_dbhz = cn0_from_moments(
+                float(d.cn0_m2[c]), float(d.cn0_m4[c]), int(d.cn0_n[c])
+            )
+            ch.doppler_hz = float(d.doppler_hz[c])
+            ch.carrier_cycles += float(d.doppler_sum[c]) * 1e-3
+            ch.code_phase_chips = float(
+                d.code_phase_filtered[c] if cfg.enable_code_filter
+                else d.code_phase_chips[c]
+            )
+        self._run_cadences(self.epoch_cursor + n_epochs)
+
+    def _run_cadences(self, end_ms: int) -> None:
+        """PVT at the solve cadence (gps_master.c:392-425) and RTCM at
+        its own (gps_master_transmit_obs, gps_master.c:430-456)."""
+        cfg = self.config
         if (
             cfg.enable_position
             and end_ms - self._last_solve_ms >= cfg.solve_period_ms
         ):
             self._last_solve_ms = end_ms
-            self._try_solve(end_ms - 1, cp[-1])
-
-        # RTCM at its own cadence (gps_master_transmit_obs,
-        # gps_master.c:430-456)
+            self._try_solve(end_ms - 1, None)
         if (
             cfg.enable_rtcm
             and end_ms - self._last_rtcm_ms >= cfg.rtcm_period_ms
@@ -465,7 +571,7 @@ class Receiver:
         chobs = [
             ChannelObservables(
                 prn=ch.prn,
-                subframe_time_ms=ch.subframe_time_ms,
+                subframe_time_ms=ch.subframe_time_ms + ch.grid_bias_ms,
                 tow_s=ch.subframe_tow_s,
                 week=ch.eph.week,
                 code_phase_chips=ch.code_phase_chips,
@@ -484,8 +590,14 @@ class Receiver:
             o.L = ch.carrier_cycles
         eph_map = {ch.prn: ch.eph for ch in ready}
         x0 = self.solutions[-1].rr if self.solutions else None
-        sol = pntpos(obs, eph_map, x0=x0,
-                     raim_threshold_m=cfg.raim_threshold_m)
+        # solver stage carries the firmware's budget-alarm role
+        # (solving.c:119-138, 900 us per 1 ms slice; here: one full
+        # solve within its 500 ms cadence period)
+        with self.profiler.stage(
+            "solve", budget_s=cfg.solve_period_ms * 1e-3
+        ).time():
+            sol = pntpos(obs, eph_map, x0=x0,
+                         raim_threshold_m=cfg.raim_threshold_m)
         if not sol.ok:
             return
         # valsol-style sanity gate (the firmware's commented-out
@@ -497,6 +609,29 @@ class Receiver:
             rms = float(np.sqrt(np.mean(sol.residuals ** 2)))
             if rms > cfg.max_resid_rms_m:
                 return
+        # physical plausibility gate + single-channel grid-fault
+        # identification (the 4-satellite boundary-integrity hole: a
+        # wrong bit grid converges with ZERO residuals at 4 sats, so
+        # only physics can catch it — solve.solution_plausible)
+        from ..pvt.solve import identify_grid_fault, solution_plausible
+
+        gates = dict(min_altitude_m=cfg.min_altitude_m,
+                     max_altitude_m=cfg.max_altitude_m,
+                     min_clock_bias_ms=cfg.min_clock_bias_ms,
+                     max_clock_bias_ms=cfg.max_clock_bias_ms,
+                     max_speed_mps=cfg.max_speed_mps)
+        if cfg.min_altitude_m < cfg.max_altitude_m and not \
+                solution_plausible(sol, **gates):
+            if not cfg.grid_fault_search:
+                return
+            hit = identify_grid_fault(obs, eph_map, x0=x0, **gates)
+            if hit is None:
+                return                      # ambiguous: reject the epoch
+            sol, idx, shift_ms = hit
+            ch = ready[idx]
+            ch.grid_bias_ms += shift_ms
+            ch.grid_faults += 1
+            ch.hatch = HatchState()         # history spans the fault
         self.solutions.append(sol)
         self.solution_epochs.append(meas_epoch_ms)
 
@@ -642,7 +777,8 @@ class Receiver:
             return
         chobs = [
             ChannelObservables(
-                prn=ch.prn, subframe_time_ms=ch.subframe_time_ms,
+                prn=ch.prn,
+                subframe_time_ms=ch.subframe_time_ms + ch.grid_bias_ms,
                 tow_s=ch.subframe_tow_s, week=ch.eph.week,
                 code_phase_chips=ch.code_phase_chips,
                 doppler_hz=ch.doppler_hz, snr_db=ch.snr_db,

@@ -301,3 +301,79 @@ def test_residuals_align_with_contributing_sats():
     assert sol.ns == len(obs) - 1
     assert len(sol.residuals) == sol.ns
     assert float(np.sqrt(np.mean(sol.residuals ** 2))) < 0.05
+
+
+def _four_sat_obs(with_doppler=False):
+    rr_true = pos2ecef(np.array([np.radians(51.5), np.radians(-0.1), 80.0]))
+    obs_time = gpst2time(WEEK, TOE + 60.0)
+    geom = [(1.5, 4.65), (0.5, 0.52), (2.0, 3.62), (1.0, 5.68)]
+    eph_map = {k: make_eph(k, M0=m0, OMG0=o0)
+               for k, (m0, o0) in enumerate(geom, start=1)}
+    lam = CLIGHT / 1.57542e9
+    obs = []
+    for k, eph in eph_map.items():
+        P = _forward_pseudorange(obs_time, eph, rr_true, 1e-4, eph_map)
+        o = Obs(sat=k, time=obs_time, P=P)
+        if with_doppler:
+            rs, dts, var, svh, ok = satposs(obs_time, [o], eph_map)
+            r, e = geodist(rs[0], rr_true)
+            o.D = -(float(e @ rs[0][3:6]) + 1.7) / lam
+        obs.append(o)
+    return rr_true, obs_time, eph_map, obs
+
+
+def test_plausibility_gate_catches_4sat_grid_fault():
+    """A single channel's 3 ms grid fault at exactly 4 satellites
+    converges with ZERO residuals (4 obs / 4 unknowns) but lands
+    thousands of km off — only the physical gate can see it."""
+    from stm32f4_sdr_gps_tpu.pvt.solve import solution_plausible
+
+    rr_true, obs_time, eph_map, obs = _four_sat_obs()
+    sol_good = pntpos(obs, eph_map)
+    assert sol_good.ok and solution_plausible(sol_good)
+
+    obs[2].P += 3e-3 * CLIGHT
+    sol_bad = pntpos(obs, eph_map)
+    assert sol_bad.ok                                     # converged...
+    assert float(np.sqrt(np.mean(sol_bad.residuals**2))) < 1.0  # ...cleanly
+    assert np.linalg.norm(sol_bad.rr - rr_true) > 100e3   # ...wrongly
+    assert not solution_plausible(sol_bad)                # caught
+
+
+def test_identify_grid_fault_unique():
+    """With Doppler observations (the receiver always has them) the
+    hypothesis search identifies the faulty channel uniquely: any
+    wrong-position hypothesis implies a km/s phantom receiver velocity
+    that the speed gate kills."""
+    from stm32f4_sdr_gps_tpu.pvt.solve import identify_grid_fault
+
+    rr_true, obs_time, eph_map, obs = _four_sat_obs(with_doppler=True)
+    # channel 2's boundary ledger is 3 ms late -> pseudorange 3 ms long
+    obs[2].P += 3e-3 * CLIGHT
+    hit = identify_grid_fault(obs, eph_map)
+    assert hit is not None, "fault not identified"
+    sol, idx, shift_ms = hit
+    assert idx == 2 and shift_ms == -3
+    assert np.linalg.norm(sol.rr - rr_true) < 1.0
+
+    # healthy set: no hypothesis should survive (nothing to 'fix')
+    rr_true, obs_time, eph_map, obs = _four_sat_obs(with_doppler=True)
+    assert identify_grid_fault(obs, eph_map) is None
+
+
+def test_speed_gate_kills_phantom_velocity_hypothesis():
+    """Without the Doppler speed gate, a wrong hypothesis on a healthy
+    4-sat set can land at plausible altitude/clock (observed: 43 km /
+    -9 ms) — the implied 5.4 km/s receiver velocity is what rejects
+    it."""
+    from stm32f4_sdr_gps_tpu.pvt.solve import pntpos as _pntpos
+    from stm32f4_sdr_gps_tpu.pvt.solve import solution_plausible
+
+    rr_true, obs_time, eph_map, obs = _four_sat_obs(with_doppler=True)
+    obs[3].P += -2e-3 * CLIGHT
+    sol = _pntpos(obs, eph_map)
+    assert sol.ok
+    assert sol.vel is not None and np.linalg.norm(sol.vel) > 1000.0
+    assert not solution_plausible(sol)
+    assert solution_plausible(sol, max_speed_mps=0.0), \
+        "this scenario is exactly the one only the speed gate catches"

@@ -186,3 +186,92 @@ def test_msm_lock_time_nontrivial():
     # lock time grows monotonically while lock holds
     firsts = [locks[0] for locks in msm_locks]
     assert firsts == sorted(firsts)
+
+
+def _receiver_with_consistent_channels(fault_ch=None, fault_ms=0):
+    """Receiver whose channels carry a synthetic but physically
+    consistent observables ledger (subframe boundary + code phase
+    reconstruct exactly the forward-model pseudoranges of
+    tests.test_pvt), so _try_solve exercises the real formation +
+    solver + plausibility chain without a 30 s capture."""
+    from stm32f4_sdr_gps_tpu.config import CLIGHT, GPS_OFFSET_TIME_MS
+    from stm32f4_sdr_gps_tpu.pvt.gpstime import time2gpst
+    from stm32f4_sdr_gps_tpu.runtime.receiver import ChannelStatus
+    from tests.test_pvt import _four_sat_obs
+
+    rr_true, obs_time, eph_map, obs = _four_sat_obs(with_doppler=True)
+    c_ms = CLIGHT / 1000.0
+    meas_ms = 50_000
+    p_ref = min(o.P for o in obs)
+    a_ref = meas_ms - 100.0
+    tow_obs, week = time2gpst(obs_time)
+    tow0 = tow_obs - (meas_ms - a_ref) / 1000.0
+
+    rx = Receiver(_cfg(enable_position=True, enable_code_filter=False))
+    channels = []
+    for o in obs:
+        arrival = a_ref + (o.P - p_ref) / c_ms
+        frac = arrival % 1.0
+        ch = ChannelStatus(prn=o.sat)
+        ch.eph = eph_map[o.sat]
+        ch.eph.week = week
+        ch.subframe_time_ms = int(round(arrival))
+        ch.code_phase_chips = (1023.0 * (1.0 - frac)) % 1023.0
+        ch.subframe_tow_s = tow0
+        ch.doppler_hz = o.D
+        ch.snr_db = 10.0
+        channels.append(ch)
+    if fault_ch is not None:
+        channels[fault_ch].subframe_time_ms += fault_ms
+    rx.channels = channels
+    return rx, rr_true, meas_ms
+
+
+def test_try_solve_corrects_grid_fault():
+    """End-to-end _try_solve: a 3 ms boundary-ledger fault on one
+    channel at exactly 4 satellites is identified, the fix corrected,
+    and the channel's ledger bias remembered for future solves."""
+    rx, rr_true, meas_ms = _receiver_with_consistent_channels()
+    rx._try_solve(meas_ms, None)
+    # ~2 m inherent: the relative-pseudorange convention's common
+    # offset shifts the assumed transmit times by ~1.5 ms
+    assert rx.solutions and np.linalg.norm(
+        rx.solutions[-1].rr - rr_true) < 5.0
+
+    rx, rr_true, meas_ms = _receiver_with_consistent_channels(
+        fault_ch=2, fault_ms=3)
+    rx._try_solve(meas_ms, None)
+    assert rx.solutions, "faulted epoch was rejected instead of corrected"
+    assert np.linalg.norm(rx.solutions[-1].rr - rr_true) < 5.0
+    ch = rx.channels[2]
+    assert ch.grid_bias_ms == -3 and ch.grid_faults == 1
+    # next solve reuses the remembered bias without a new search
+    # (same epoch: the synthetic channels are frozen in time)
+    rx._try_solve(meas_ms, None)
+    assert len(rx.solutions) == 2
+    assert np.linalg.norm(rx.solutions[-1].rr - rr_true) < 5.0
+    assert ch.grid_faults == 1
+
+
+def test_try_solve_rejects_without_search():
+    rx, rr_true, meas_ms = _receiver_with_consistent_channels(
+        fault_ch=1, fault_ms=-2)
+    rx.config = rx.config.replace(grid_fault_search=False)
+    rx._try_solve(meas_ms, None)
+    assert not rx.solutions, "implausible fix must be rejected"
+
+
+def test_profiler_stages_populated(short_capture):
+    """The per-stage profiler (utils.profiling, the DWT-timer role) is
+    wired into the receiver pipeline and surfaces via render_status."""
+    from stm32f4_sdr_gps_tpu.io.status import render_status
+
+    x, _ = short_capture
+    rx = Receiver(_cfg())
+    rx.run(x)
+    stages = rx.profiler.stages
+    for name in ("acquire", "pretrack", "track", "decode"):
+        assert name in stages and stages[name].calls > 0, name
+    assert stages["track"].budget_s is not None   # real-time budget alarm
+    report = render_status(rx, profile=True)
+    assert "track" in report and "mean ms" in report
