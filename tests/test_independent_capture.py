@@ -1,0 +1,148 @@
+"""Replay validation against an INDEPENDENT capture generator.
+
+Every other e2e test feeds the receiver a capture produced by the
+package's own simulator — a self-referential loop.  Here the stimulus
+comes from ``native/capture_gen.cpp``, a standalone C++ program that
+implements the public ICD (IS-GPS-200 orbits, clocks, LNAV framing,
+Gold codes) and the reference front-end wire format (1-bit real signs
+at 16.368 MHz packed LSB-first into uint16 SPI words,
+signal_capture.c:143-177) while sharing zero code with the Python
+package.  Agreement between the receiver's decode/fix and the
+generator's planted truth cross-validates both implementations — the
+framework's analogue of the reference project's recorded-capture
+replay methodology (PC_SpiLight/Readme.txt:1-4).
+
+Default suite: acquisition-level cross-validation — the receiver must
+find every planted satellite at the truth code phase (sub-chip) and
+Doppler (within a bin) knowing only the PRN list.  RUN_SLOW adds the
+full receive chain: compressed-time tracking + nav framing + ephemeris
+decode checked bit-for-bit against the generator's truth JSON, and a
+real-20 ms-bit run to a position fix checked against the planted
+receiver location.
+"""
+
+import json
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from stm32f4_sdr_gps_tpu.config import ReceiverConfig, TrackConfig
+from stm32f4_sdr_gps_tpu.acquire.engine import acquire
+from stm32f4_sdr_gps_tpu.runtime import native
+from stm32f4_sdr_gps_tpu.runtime.receiver import Receiver
+from stm32f4_sdr_gps_tpu.signal.capture import reference_to_baseband
+
+NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
+
+slow = pytest.mark.skipif(
+    os.environ.get("RUN_SLOW") != "1", reason="set RUN_SLOW=1 to run"
+)
+
+
+def _generate(tmp: Path, **kw) -> tuple[np.ndarray, dict]:
+    """Build (if needed) and run the independent generator; return the
+    unpacked sign stream and the truth dict."""
+    subprocess.run(["make", "-s", "-C", str(NATIVE_DIR), "capture_gen"],
+                   check=True)
+    cap, truth = tmp / "cap.bin", tmp / "truth.json"
+    args = [str(NATIVE_DIR / "capture_gen"),
+            "--out", str(cap), "--truth", str(truth)]
+    for k, v in kw.items():
+        args += [f"--{k.replace('_', '-')}", str(v)]
+    subprocess.run(args, check=True, capture_output=True)
+    words = np.fromfile(cap, dtype=np.uint16)
+    signs = native.unpack_bits16(words)
+    return signs, json.loads(truth.read_text())
+
+
+def test_independent_capture_acquisition(tmp_path):
+    """Acquire the independent capture cold; code phase must match the
+    generator's planted signal delay to sub-chip accuracy and Doppler
+    to within one search bin, for all four satellites."""
+    signs, truth = _generate(
+        tmp_path, cib=20, duration_ms=60, cn0=48, seed=5, repeats=1)
+    baseband = reference_to_baseband(signs)
+
+    prns = [s["prn"] for s in truth["sats"]]
+    results = {r.prn: r for r in acquire(baseband, prns)}
+    for t in truth["sats"]:
+        r = results[t["prn"]]
+        assert r.detected, t["prn"]
+        # repo convention (pvt/observables.py): sub-ms delay =
+        # (1023 - code_phase)/1023 ms, i.e. the received chip index at
+        # epoch start is 1023 * (1 - frac(delay)).
+        cp_true = (1023.0 * (1.0 - (t["delay_ms"] % 1.0))) % 1023.0
+        dcp = abs(r.code_phase_chips - cp_true)
+        dcp = min(dcp, 1023.0 - dcp)
+        assert dcp < 1.0, (t["prn"], r.code_phase_chips, cp_true)
+        assert abs(r.doppler_hz - t["doppler_hz"]) < 300.0, (
+            t["prn"], r.doppler_hz, t["doppler_hz"])
+
+
+# decoded-Ephemeris attribute -> truth-JSON key (angles in rad both
+# sides; the generator quantizes every field to its LNAV grid before
+# synthesis, so the decode must round-trip to float precision)
+EPH_FIELDS = {
+    "f0": "f0", "f1": "f1", "f2": "f2", "tgd": "tgd",
+    "e": "e", "i0": "i0", "M0": "M0", "OMG0": "OMG0", "omg": "omg",
+    "deln": "deln", "OMGd": "OMGd", "idot": "idot",
+    "crs": "crs", "crc": "crc", "cuc": "cuc", "cus": "cus",
+    "cic": "cic", "cis": "cis",
+}
+
+
+@slow
+def test_independent_capture_decode(tmp_path):
+    """Compressed time (3 code periods/bit) through tracking + framing +
+    ephemeris decode; every decoded field bit-for-bit vs truth."""
+    signs, truth = _generate(
+        tmp_path, cib=3, duration_ms=7800, cn0=48, seed=5, repeats=2)
+    baseband = reference_to_baseband(signs)
+
+    prns = tuple(s["prn"] for s in truth["sats"])
+    cfg = ReceiverConfig(
+        prns=prns,
+        track=TrackConfig(codes_in_bit=3, pll_bad_state_threshold=10**9),
+        enable_position=False,
+        track_block_epochs=400,
+    )
+    report = Receiver(cfg).run(baseband)
+
+    by_prn = {s["prn"]: s for s in truth["sats"]}
+    for ch in report.channels:
+        t = by_prn[ch.prn]
+        assert ch.state_name == "TRACKING", ch.prn
+        assert abs(ch.doppler_hz - t["doppler_hz"]) < 15.0, ch.prn
+        assert ch.subframe_count >= 3, (ch.prn, ch.subframe_count)
+        assert ch.eph.has_full_set, (ch.prn, hex(ch.eph.received_mask_proc))
+        assert ch.eph.week == truth["week"]
+        assert ch.eph.iode == t["eph"]["iode"]
+        assert abs(ch.eph.A - t["eph"]["sqrtA"] ** 2) < 1e-3
+        assert abs(ch.eph.toes - t["eph"]["toes"]) < 1e-9
+        for attr, key in EPH_FIELDS.items():
+            got, want = getattr(ch.eph, attr), t["eph"][key]
+            assert got == pytest.approx(want, rel=1e-12, abs=1e-21), (
+                ch.prn, attr, got, want)
+
+
+@slow
+def test_independent_capture_to_fix(tmp_path):
+    """Real 20 ms bits through to a position fix: the solved position
+    must agree with the generator's planted receiver location."""
+    signs, truth = _generate(
+        tmp_path, cib=20, duration_ms=29000, cn0=48, seed=5, repeats=1)
+    baseband = reference_to_baseband(signs)
+
+    prns = tuple(s["prn"] for s in truth["sats"])
+    cfg = ReceiverConfig(prns=prns, track_block_epochs=1000)
+    report = Receiver(cfg).run(baseband)
+
+    for ch in report.channels:
+        assert ch.eph.has_full_set, ch.prn
+    assert report.solutions, "no position fix from the independent capture"
+    rr_true = np.array(truth["rr_ecef"])
+    err = np.linalg.norm(report.solutions[-1].rr - rr_true)
+    assert err < 500.0, f"position error {err:.1f} m vs planted truth"
