@@ -141,6 +141,13 @@ struct Eph {
 };
 
 double quant(double v, double scale) { return std::round(v / scale) * scale; }
+// Signed semicircle fields span exactly [-1, 1) sc; wrap so the stored
+// truth equals what the two's-complement field actually represents.
+double wrap_sc(double sc) {
+  sc = std::fmod(sc + 1.0, 2.0);
+  if (sc < 0) sc += 2.0;
+  return sc - 1.0;
+}
 long long enc(double v, double scale) {
   return static_cast<long long>(std::llround(v / scale));
 }
@@ -160,10 +167,10 @@ void quantize(Eph &e) {
   e.crs = quant(e.crs, P5);
   e.crc = quant(e.crc, P5);
   e.deln = quant(e.deln / PI_GPS, P43) * PI_GPS;      // rad -> semicircles grid
-  e.M0 = quant(e.M0 / PI_GPS, P31) * PI_GPS;
-  e.OMG0 = quant(e.OMG0 / PI_GPS, P31) * PI_GPS;
-  e.i0 = quant(e.i0 / PI_GPS, P31) * PI_GPS;
-  e.omg = quant(e.omg / PI_GPS, P31) * PI_GPS;
+  e.M0 = quant(wrap_sc(e.M0 / PI_GPS), P31) * PI_GPS;
+  e.OMG0 = quant(wrap_sc(e.OMG0 / PI_GPS), P31) * PI_GPS;
+  e.i0 = quant(wrap_sc(e.i0 / PI_GPS), P31) * PI_GPS;
+  e.omg = quant(wrap_sc(e.omg / PI_GPS), P31) * PI_GPS;
   e.OMGd = quant(e.OMGd / PI_GPS, P43) * PI_GPS;
   e.idot = quant(e.idot / PI_GPS, P43) * PI_GPS;
   e.cuc = quant(e.cuc, P29);

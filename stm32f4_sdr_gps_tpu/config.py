@@ -350,8 +350,8 @@ class ReceiverConfig:
     # covers any aircraft.  0 disables.
     min_altitude_m: float = -1000.0
     max_altitude_m: float = 100_000.0
-    min_clock_bias_ms: float = -18.0
-    max_clock_bias_ms: float = 2.0
+    min_clock_bias_ms: float = -19.0
+    max_clock_bias_ms: float = 3.0
     max_speed_mps: float = 600.0
     # When a solution fails the plausibility gate, search for a unique
     # single-channel integer-ms fault (pvt.solve.identify_grid_fault)

@@ -85,6 +85,12 @@ class NavFramer:
     history: List[tuple] = field(default_factory=list)  # (raw_bit, epoch)
     _replaying: bool = False
     last_word_epoch: int = 0
+    #: polarity re-detect timeout (nav_data.c:22): reopened inverted-
+    #: preamble detection after this long without a valid word.  Two
+    #: subframe durations ON AIR — callers running compressed time
+    #: (codes_in_bit < 20) must scale it, else a PLL half-cycle slip
+    #: mid-run silences framing for the fixed 12 s real-time value.
+    polarity_timeout_ms: int = BAD_POLARITY_TIMEOUT_MS
     words_decoded: int = 0       # word_cnt_test equivalent
     subframe_cnt: int = 0
     last_subframe_time_ms: int = 0   # last_subframe_time ledger
@@ -152,7 +158,7 @@ class NavFramer:
             if (
                 self.polarity_found
                 and not self._replaying
-                and epoch_ms - self.last_word_epoch > BAD_POLARITY_TIMEOUT_MS
+                and epoch_ms - self.last_word_epoch > self.polarity_timeout_ms
             ):
                 self.polarity_found = False
                 self.inv_polarity = False

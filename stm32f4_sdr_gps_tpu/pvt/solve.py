@@ -265,8 +265,8 @@ def solution_plausible(
     sol: Solution,
     min_altitude_m: float = -1000.0,
     max_altitude_m: float = 100_000.0,
-    min_clock_bias_ms: float = -18.0,
-    max_clock_bias_ms: float = 2.0,
+    min_clock_bias_ms: float = -19.0,
+    max_clock_bias_ms: float = 3.0,
     max_speed_mps: float = 600.0,
 ) -> bool:
     """Physical plausibility gate for a converged solution.
@@ -285,7 +285,9 @@ def solution_plausible(
     ``68.802 ms - TOF_ref`` plus the true (sub-ms, TOW-derived) clock
     error, and the reference satellite's TOF physically spans
     [~67.3 ms zenith, ~86 ms horizon] -> legitimate bias in about
-    [-17.2, +1.5] ms.
+    [-17.2, +1.5] ms.  Common-mode SV clock error also lands here:
+    the broadcast af0 field spans +/-(2^21)*2^-31 s ~ +/-0.98 ms
+    (IS-GPS-200 20.3.3.3.1.8), so the window carries +/-1 ms margin.
 
     The Doppler-implied speed is the sharpest discriminator when
     Doppler observations exist: at a wrong position the satellite LOS
@@ -319,8 +321,8 @@ def identify_grid_fault(
     max_shift_ms: int = 4,
     min_altitude_m: float = -1000.0,
     max_altitude_m: float = 100_000.0,
-    min_clock_bias_ms: float = -18.0,
-    max_clock_bias_ms: float = 2.0,
+    min_clock_bias_ms: float = -19.0,
+    max_clock_bias_ms: float = 3.0,
     max_speed_mps: float = 600.0,
     resid_gate_m: float = 30.0,
 ):

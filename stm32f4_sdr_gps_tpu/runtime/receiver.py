@@ -138,7 +138,8 @@ class Receiver:
     def __init__(self, config: ReceiverConfig):
         self.config = config
         self.channels: List[ChannelStatus] = [
-            ChannelStatus(prn=p) for p in config.prns
+            ChannelStatus(prn=p, framer=self._new_framer())
+            for p in config.prns
         ]
         self.track_state: Optional[TrackState] = None
         self.code_table = None
@@ -160,6 +161,13 @@ class Receiver:
         # budget-alarm role, delay_us_timer.c + solving.c:119-138);
         # the 'track' stage budget is the real-time budget of one block
         self.profiler = Profiler()
+
+    def _new_framer(self) -> NavFramer:
+        """Framer with the polarity re-detect timeout scaled to the
+        actual on-air bit duration (2 subframes = 600 bits; nav_data.c:22
+        hardcodes 12 s because firmware bits are always 20 ms)."""
+        return NavFramer(
+            polarity_timeout_ms=600 * self.config.track.codes_in_bit)
 
     # -- stages -----------------------------------------------------------
 
@@ -751,7 +759,7 @@ class Receiver:
         for c in sorted(dead, reverse=True):
             ch = self.channels.pop(c)
             ch.state_name = "LOST"
-            ch.framer = NavFramer()
+            ch.framer = self._new_framer()
             ch.subframe_time_ms = 0
             # last tracked Doppler becomes the re-acquisition hint
             # (warm-reset capability, gps_master.c:498-506)
@@ -822,7 +830,7 @@ class Receiver:
             if ch.framer.words_decoded > 1
         }
         for ch in self.channels:
-            ch.framer = NavFramer()
+            ch.framer = self._new_framer()
             ch.subframe_time_ms = 0
             ch.subframe_tow_s = 0.0
             ch.subframe_count = 0
