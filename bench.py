@@ -166,14 +166,38 @@ def run_bench() -> bool:
     u2 = jnp.asarray(upsampled_code_doubled(table_np))
     rng = np.random.default_rng(0)
 
-    honest_wall = platform == "cpu" or wall_clock_is_honest()
+    # BENCH_ASSUME_ASYNC=1 skips the canary and goes straight to
+    # device-reported trace timing (for harvest retries on a transport
+    # already proven async — the 268 MB canary transfer is pure load).
+    if platform != "cpu" and os.environ.get("BENCH_ASSUME_ASYNC") == "1":
+        print("assuming async transport (BENCH_ASSUME_ASYNC=1); "
+              "using trace timing", file=sys.stderr)
+        honest_wall = False
+    else:
+        honest_wall = platform == "cpu" or wall_clock_is_honest()
 
-    block_epochs = 2000
-    epochs = jnp.asarray(
-        (rng.standard_normal((block_epochs, plan.samples_per_epoch))
-         + 1j * rng.standard_normal((block_epochs, plan.samples_per_epoch))
-         ).astype(np.complex64)
-    )
+    block_epochs = int(os.environ.get("BENCH_BLOCK_EPOCHS", "2000"))
+    # Generate the IQ block ON DEVICE (throughput is input-independent —
+    # noise exercises the identical compute).  The previous host
+    # jnp.asarray pushed ~33 MB through the transport, which some remote
+    # PJRT tunnels reject with UNIMPLEMENTED; PRNG generation needs only
+    # a 2-word key transfer.
+    @jax.jit
+    def _make_epochs(key):
+        kr, ki = jax.random.split(key)
+        shape = (block_epochs, plan.samples_per_epoch)
+        return (jax.random.normal(kr, shape, dtype=jnp.float32)
+                + 1j * jax.random.normal(ki, shape, dtype=jnp.float32))
+
+    epochs = _make_epochs(jax.random.PRNGKey(0))
+    try:
+        jax.block_until_ready(epochs)
+        print(f"IQ block generated on device: {block_epochs} epochs",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"on-device IQ generation failed: {type(e).__name__}: "
+              f"{str(e)[:160]}", file=sys.stderr)
+        return False
     state0 = init_state(
         n_chan,
         rng.uniform(0, 1023, n_chan),
@@ -200,15 +224,32 @@ def run_bench() -> bool:
              jax.jit(lambda st, ep: track_block_pallas(
                  st, ep, u2, plan, cfg_jnp))),
         ]
+    # BENCH_PATHS=comma,list restricts candidates so a flaky remote
+    # transport can try one path per short-lived process (a failed op
+    # usually poisons every later op in the same client).
+    only = os.environ.get("BENCH_PATHS")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        candidates = [c for c in candidates if c[0] in keep]
 
     method = None
     best = None      # (rt_multiple, name)
     for name, fn in candidates:
+        # compile and warm-up as separate stages so a transport failure
+        # is attributable (compile happens host/server-side; the first
+        # run exercises transfer + execution)
         try:
-            st, outs = fn(state0, epochs)    # compile + warm up
+            fn = fn.lower(state0, epochs).compile()
+            print(f"tracking[{name}]: compiled", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"tracking[{name}]: COMPILE failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            continue
+        try:
+            st, outs = fn(state0, epochs)    # warm up
             jax.block_until_ready((st, outs))
         except Exception as e:  # noqa: BLE001
-            print(f"tracking[{name}]: failed to compile/run: "
+            print(f"tracking[{name}]: RUN failed: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             continue
         rt = None
@@ -255,41 +296,47 @@ def run_bench() -> bool:
     samples_per_s = plan.sample_rate_hz * rt_multiple
     print(f"headline path: {best_name}", file=sys.stderr)
 
-    # acquisition secondary benchmark (same timing discipline)
-    acq = AcqConfig()
-    cfc = code_fft_conj(prns, plan)
-    bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
-    rot = doppler_rotations(jnp.asarray(bins_host), plan.samples_per_epoch,
-                            plan.sample_rate_hz)
-    acq_epochs = epochs[: acq.noncoherent_epochs]
-    power = acquisition_power(acq_epochs, cfc, rot)
-    power.block_until_ready()
-    if honest_wall:
-        t0 = time.perf_counter()
-        for _ in range(5):
-            power = acquisition_power(acq_epochs, cfc, rot)
-        power.block_until_ready()
-        acq_s = (time.perf_counter() - t0) / 5
-    else:
-        acq_s = _device_trace_seconds(
-            lambda: jax.block_until_ready(
-                acquisition_power(acq_epochs, cfc, rot))
-        )
-    if acq_s:
-        print(
-            f"acquisition: 32 PRN x {len(bins_host)} bins x "
-            f"{acq.noncoherent_epochs} epochs in {acq_s * 1e3:.1f} ms "
-            f"({acq_s / 32 * 1e3:.2f} ms/PRN; firmware: ~0.2 s/bin serial "
-            f"=> ~58 s/PRN)",
-            file=sys.stderr,
-        )
-
     print(json.dumps({
         "metric": "iq_samples_per_s_per_chip_32ch_tracking",
         "value": round(samples_per_s, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(rt_multiple, 2),
     }))
+    sys.stdout.flush()
+
+    # acquisition secondary benchmark (same timing discipline); failures
+    # here must not discard the tracking headline already printed
+    try:
+        acq = AcqConfig()
+        cfc = code_fft_conj(prns, plan)
+        bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
+        rot = doppler_rotations(jnp.asarray(bins_host),
+                                plan.samples_per_epoch, plan.sample_rate_hz)
+        acq_epochs = epochs[: acq.noncoherent_epochs]
+        power = acquisition_power(acq_epochs, cfc, rot)
+        power.block_until_ready()
+        if honest_wall:
+            t0 = time.perf_counter()
+            for _ in range(5):
+                power = acquisition_power(acq_epochs, cfc, rot)
+            power.block_until_ready()
+            acq_s = (time.perf_counter() - t0) / 5
+        else:
+            acq_s = _device_trace_seconds(
+                lambda: jax.block_until_ready(
+                    acquisition_power(acq_epochs, cfc, rot))
+            )
+        if acq_s:
+            print(
+                f"acquisition: 32 PRN x {len(bins_host)} bins x "
+                f"{acq.noncoherent_epochs} epochs in {acq_s * 1e3:.1f} ms "
+                f"({acq_s / 32 * 1e3:.2f} ms/PRN; firmware: ~0.2 s/bin "
+                f"serial => ~58 s/PRN)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"acquisition bench skipped: {type(e).__name__}: "
+              f"{str(e)[:160]}", file=sys.stderr)
     return True
 
 

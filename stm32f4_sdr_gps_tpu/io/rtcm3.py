@@ -187,6 +187,10 @@ class MsmObs:
     cn0_dbhz: float = 40.0
     lock_time_s: float = 0.0
     phaserange_m: float = 0.0   # carrier phaserange (0 = not available)
+    # DF420: True until the receiver resolves the Costas half-cycle
+    # ambiguity (nav polarity known -> carrier phase known mod 1 cycle,
+    # not just mod 1/2)
+    half_cycle_ambiguous: bool = True
 
 
 _L1_WAVELENGTH = CLIGHT / 1.57542e9
@@ -262,7 +266,7 @@ def encode_msm(msg_type: int, tow_s: float, obs: List[MsmObs],
     for o in obs:
         w.set_u(_lock_indicator(o.lock_time_s), 4)
     for o in obs:
-        w.set_u(0, 1)                              # half-cycle ambiguity
+        w.set_u(1 if o.half_cycle_ambiguous else 0, 1)   # DF420
     for o in obs:
         w.set_u(int(round(o.cn0_dbhz)) & 0x3F, 6)
     if msm5:
@@ -302,7 +306,7 @@ def decode_msm(payload: bytes) -> dict:
     fine = [r.get_s(15) for _ in range(ncell)]
     phase = [r.get_s(22) for _ in range(ncell)]
     locks = [r.get_u(4) for _ in range(ncell)]
-    _half = [r.get_u(1) for _ in range(ncell)]
+    half = [r.get_u(1) for _ in range(ncell)]
     cnr = [r.get_u(6) for _ in range(ncell)]
     fine_rate = [r.get_s(15) for _ in range(ncell)] if msm5 else [0] * ncell
     obs = []
@@ -316,7 +320,7 @@ def decode_msm(payload: bytes) -> dict:
         obs.append(
             dict(sat=sat, pseudorange_m=rng_ms * RANGE_MS,
                  range_rate_ms=rate, cn0_dbhz=cnr[i], lock=locks[i],
-                 phaserange_m=ph_m)
+                 phaserange_m=ph_m, half_cycle_ambiguous=bool(half[i]))
         )
     out["obs"] = obs
     return out

@@ -103,11 +103,31 @@ class Ephemeris:
     received_mask: int = 0        # bit n-1 set after subframe n (RTCM gate)
     received_mask_proc: int = 0   # not cleared (PVT gate, gps_master.c:414)
     decode_cnt: int = 0
+    # per-subframe issue-of-data, -1 = subframe not decoded through the
+    # tracker (ephemeris injected directly).  The firmware keeps a
+    # commented-out oldiode check (nav_data_decode.c:85, :109) and will
+    # happily mix subframes from two broadcast datasets across a
+    # cutover; here a mixed set is held out of PVT until it re-matches.
+    iode_sf2: int = -1
+    iode_sf3: int = -1
+
+    @property
+    def dataset_consistent(self) -> bool:
+        """IS-GPS-200 §20.3.4.4 matched-dataset rule: IODE(sf2) ==
+        IODE(sf3) == 8 LSBs of IODC(sf1).  Subframes not decoded
+        through the tracker (-1) are exempt so directly-injected
+        ephemerides stay usable."""
+        vals = [v for v in (self.iode_sf2, self.iode_sf3) if v >= 0]
+        if (self.received_mask_proc & 1) and vals:
+            vals.append(self.iodc & 0xFF)
+        return len(set(vals)) <= 1
 
     @property
     def has_full_set(self) -> bool:
-        """Subframes 1-3 decoded (mask 0x7, gps_master.c:414)."""
-        return (self.received_mask_proc & 0x7) == 0x7
+        """Subframes 1-3 decoded (mask 0x7, gps_master.c:414) AND from
+        one broadcast dataset (IODE/IODC matched)."""
+        return ((self.received_mask_proc & 0x7) == 0x7
+                and self.dataset_consistent)
 
 
 def decode_subframe(bits, eph: Ephemeris) -> int:
@@ -136,6 +156,7 @@ def decode_subframe(bits, eph: Ephemeris) -> int:
         eph.received_mask_proc |= 1
     elif sf_id == 2:
         eph.iode = getbitu(bits, 60, 8)
+        eph.iode_sf2 = eph.iode
         eph.crs = getbits(bits, 68, 16) * P2_5
         eph.deln = getbits(bits, 90, 16) * P2_43 * SC2RAD
         eph.M0 = getbits2(bits, 106, 8, 120, 24) * P2_31 * SC2RAD
@@ -158,6 +179,7 @@ def decode_subframe(bits, eph: Ephemeris) -> int:
         eph.omg = getbits2(bits, 196, 8, 210, 24) * P2_31 * SC2RAD
         eph.OMGd = getbits(bits, 240, 24) * P2_43 * SC2RAD
         eph.iode = getbitu(bits, 270, 8)
+        eph.iode_sf3 = eph.iode
         eph.idot = getbits(bits, 278, 14) * P2_43 * SC2RAD
         eph.received_mask |= 4
         eph.received_mask_proc |= 4

@@ -22,6 +22,7 @@ MU_GPS = 3.9860050e14        # gravitational constant (solving.c:24)
 OMGE = 7.2921151467e-5       # earth rotation rate, rad/s (solving.c:25)
 RTOL_KEPLER = 1e-14          # solving.c:26
 MAX_ITER_KEPLER = 30         # solving.c:27
+MAXDTOE_S = 7200.0           # GPS ephemeris validity (RTKLIB MAXDTOE)
 
 _URA_VALUES = np.array(
     [2.4, 3.4, 4.85, 6.85, 9.65, 13.65, 24.0, 48.0, 96.0, 192.0,
@@ -121,6 +122,12 @@ def satposs(sol_time: GTime, obs_list, eph_map):
         if eph is None or eph.A <= 0.0:
             continue
         t = timeadd(obs.time, -obs.P / CLIGHT)
+        # ephemeris aging: Kepler extrapolation degrades past the fit
+        # interval — RTKLIB's MAXDTOE gate (the firmware, running
+        # minutes at a time, never ages out; a long-running framework
+        # job must).  Aged satellites drop out like unhealthy ones.
+        if abs(timediff(t, eph.toe)) > MAXDTOE_S:
+            continue
         dt = eph2clk(t, eph)
         t = timeadd(t, -dt)
         rs[i], dts[i], var[i], svh[i] = ephpos(t, eph)

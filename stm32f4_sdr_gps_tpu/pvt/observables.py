@@ -109,6 +109,7 @@ def form_observations(
     channels: List[ChannelObservables],
     meas_epoch_ms: int,
     max_spread_ms: float = 100.0,
+    ref_prn: Optional[int] = None,
 ) -> Optional[List[Obs]]:
     """Form one obs set at ``meas_epoch_ms``; None if not ready.
 
@@ -122,6 +123,16 @@ def form_observations(
     sub-ms part is propagated by the live code NCO
     (boundary_arrival_ms), good to ~±0.5 ms of TOF drift (several
     minutes of staleness at GPS dynamics).
+
+    ``ref_prn`` pins the reference channel (the receiver-clock
+    realization): the caller's carrier observables must share the SAME
+    base or code-minus-carrier drifts at the reference range rate, so
+    the receiver passes its sticky reference here.  Default (None, or
+    a PRN not in ``channels``) keeps the firmware's earliest-boundary
+    convention (closest satellite, gps_master.c:180-184).  A pinned
+    reference can make other channels' relative TOF negative (closer
+    satellite than the reference) — the solver's clock-bias estimate
+    absorbs the common-mode choice either way.
     """
     if not channels or any(c.subframe_time_ms == 0 for c in channels):
         return None
@@ -133,7 +144,11 @@ def form_observations(
     tof_like = arrivals - (tow_ms - tow_ms.min())
     if tof_like.max() - tof_like.min() > max_spread_ms:
         return None
-    ref = int(np.argmin(tof_like))
+    prns = [c.prn for c in channels]
+    if ref_prn is not None and ref_prn in prns:
+        ref = prns.index(ref_prn)
+    else:
+        ref = int(np.argmin(tof_like))
     ref_ch = channels[ref]
     elapsed_ms = meas_epoch_ms - arrivals[ref]
     if elapsed_ms < 0:

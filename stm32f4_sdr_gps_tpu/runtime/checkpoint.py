@@ -54,6 +54,7 @@ def save_receiver(path: str, receiver) -> str:
         aided_low_conf=receiver._aided_low_conf,
         pending_phase=receiver._pending_phase,
         pending_cnt=receiver._pending_cnt,
+        phase_ref_prn=receiver._phase_ref_prn,
     )
     blob = io.BytesIO()
     pickle.dump(host, blob)
@@ -87,6 +88,7 @@ def load_receiver(path: str):
         rx._pending_phase = host["pending_phase"]
     if host.get("pending_cnt") is not None:
         rx._pending_cnt = host["pending_cnt"]
+    rx._phase_ref_prn = int(host.get("phase_ref_prn", 0))
     if "code_table" in data:
         rx.code_table = jnp.asarray(data["code_table"])
         rx.track_state = TrackState(

@@ -34,7 +34,7 @@ from ..config import ReceiverConfig, WORDS_IN_SUBFRAME, WORD_LENGTH_BITS
 from ..nav.ephemeris import Ephemeris, decode_subframe, getbitu
 from ..nav.frame import NavFramer
 from ..pvt.observables import (ChannelObservables, HatchState,
-                               form_observations)
+                               boundary_arrival_ms, form_observations)
 from ..pvt.solve import Solution, pntpos
 from ..signal.ca_code import ca_table_bipolar
 from ..track.pretrack import refine_code_phase
@@ -76,7 +76,15 @@ class ChannelStatus:
     snr_db: float = 0.0
     cn0_dbhz: float = 0.0
     carrier_cycles: float = 0.0   # integrated Doppler (L observable)
-    rtcm_phase_align_m: float = 0.0   # phaserange = align + lambda*L
+    rtcm_phase_align_m: float = 0.0   # phaserange = align - lambda*L
+    # Costas half-cycle ambiguity state: +1 = carrier in phase with nav
+    # bits, -1 = PLL locked pi out of phase (the framer sees inverted
+    # polarity; true phase = measured + 1/2 cycle), 0 = never resolved.
+    # half_cycle keeps the LAST resolved value through polarity-timeout
+    # gaps so the correction stays continuous; half_cycle_known gates
+    # the MSM DF420 ambiguity flag.
+    half_cycle: int = 0
+    half_cycle_known: bool = False
     doppler_hz: float = 0.0
     code_phase_chips: float = 0.0
     state_name: str = "IDLE"
@@ -157,6 +165,9 @@ class Receiver:
         self._aided_low_conf = np.zeros(0, int)
         self._pending_phase = np.full(0, -1)
         self._pending_cnt = np.zeros(0, int)
+        # sticky reference channel for carrier-phase clock re-basing
+        # (_relative_L); 0 = unset, chosen at first observable formation
+        self._phase_ref_prn = 0
         # per-stage wall-clock profiler (the DWT timer / solver
         # budget-alarm role, delay_us_timer.c + solving.c:119-138);
         # the 'track' stage budget is the real-time budget of one block
@@ -510,10 +521,82 @@ class Receiver:
             )
         self._run_cadences(self.epoch_cursor + n_epochs)
 
+    def _update_half_cycle(self, ch: ChannelStatus) -> None:
+        """Resolve the Costas half-cycle ambiguity from nav polarity.
+
+        A Costas loop locks indistinguishably at 0 or pi; once the
+        framer pins the bit polarity (preamble found), an inverted
+        polarity means the carrier is pi out of phase — the true phase
+        observable is the measured one plus half a cycle.  The firmware
+        never forms a carrier observable at all (sdrobs2obsd leaves
+        obsd L=0, obs_publish.c), so this is TPU-framework-only.  A
+        polarity CHANGE (half-cycle slip re-detected the other way)
+        breaks carrier continuity: reset the Hatch filter and the RTCM
+        phaserange alignment."""
+        if not ch.framer.polarity_found:
+            ch.half_cycle_known = False   # ambiguous until re-pinned
+            return
+        hc = -1 if ch.framer.inv_polarity else 1
+        if hc != ch.half_cycle:
+            if ch.half_cycle != 0:        # a real slip, not first pin
+                ch.hatch = HatchState()
+                ch.rtcm_phase_align_m = 0.0
+                ch.lock_start_ms = -1     # DF402: phase discontinuity
+            ch.half_cycle = hc
+        ch.half_cycle_known = True
+
+    def _L_cycles(self, ch: ChannelStatus) -> float:
+        """Half-cycle-corrected carrier-phase observable (cycles)."""
+        return ch.carrier_cycles + (0.5 if ch.half_cycle < 0 else 0.0)
+
+    def _relative_L(self, ready: List[ChannelStatus]) -> dict:
+        """Carrier phase re-based to the pseudorange time base (cycles).
+
+        form_observations pins the reference satellite's pseudorange to
+        68.802 ms (the firmware's relative convention, gps_master.c:199
+        -201): the receiver clock realization is DEFINED by the
+        reference channel's range.  A raw integrated-Doppler carrier
+        uses each channel's own range as its base, so code-minus-
+        carrier would drift at the reference channel's full range rate
+        (hundreds of m/s) — breaking both the Hatch filter (constant
+        resets past reset_threshold_m) and RTCM phaserange continuity.
+        Subtracting a sticky reference channel's L puts the carrier on
+        the SAME clock realization as P; the SAME sticky PRN is pinned
+        into form_observations (ref_prn) so code and carrier share one
+        base — with independent references the reference sat's P is
+        frozen while its L drifts at the differential Doppler.  When
+        the reference channel leaves the ready set, the clock base
+        jumps: phase alignments and Hatch histories restart."""
+        by_prn = {ch.prn: ch for ch in ready}
+        if self._phase_ref_prn not in by_prn:
+            is_switch = self._phase_ref_prn != 0
+            # earliest boundary arrival = closest satellite, the
+            # firmware's reference convention (gps_master.c:180-184),
+            # sticky from here on
+            self._phase_ref_prn = min(
+                ready,
+                key=lambda c: boundary_arrival_ms(
+                    c.subframe_time_ms, c.code_phase_chips)
+                - c.subframe_tow_s * 1000.0,
+            ).prn
+            if is_switch:
+                # every reported phaserange jumps with the new clock
+                # base: restart alignments and signal the
+                # discontinuity via DF402 (initial selection emits
+                # nothing yet — no discontinuity to signal)
+                for ch in self.channels:
+                    ch.rtcm_phase_align_m = 0.0
+                    ch.hatch = HatchState()
+                    ch.lock_start_ms = -1
+        ref_l = self._L_cycles(by_prn[self._phase_ref_prn])
+        return {ch.prn: self._L_cycles(ch) - ref_l for ch in ready}
+
     def _run_cadences(self, end_ms: int) -> None:
         """PVT at the solve cadence (gps_master.c:392-425) and RTCM at
         its own (gps_master_transmit_obs, gps_master.c:430-456)."""
         cfg = self.config
+        for ch in self.channels:
+            self._update_half_cycle(ch)
         if (
             cfg.enable_position
             and end_ms - self._last_solve_ms >= cfg.solve_period_ms
@@ -588,14 +671,18 @@ class Receiver:
             )
             for ch in ready
         ]
-        obs = form_observations(chobs, meas_epoch_ms)
+        # sticky reference first: the same PRN pins both the carrier
+        # re-basing and the pseudorange convention below
+        rel_l = self._relative_L(ready)
+        obs = form_observations(chobs, meas_epoch_ms,
+                                ref_prn=self._phase_ref_prn)
         if obs is None:
             return
         # carrier smoothing (Hatch): integrated Doppler propagates the
         # pseudorange between solve epochs, averaging code noise down
         for o, ch in zip(obs, ready):
-            o.P = ch.hatch.update(o.P, ch.carrier_cycles)
-            o.L = ch.carrier_cycles
+            o.L = rel_l[ch.prn]
+            o.P = ch.hatch.update(o.P, o.L)
         eph_map = {ch.prn: ch.eph for ch in ready}
         x0 = self.solutions[-1].rr if self.solutions else None
         # solver stage carries the firmware's budget-alarm role
@@ -761,6 +848,8 @@ class Receiver:
             ch.state_name = "LOST"
             ch.framer = self._new_framer()
             ch.subframe_time_ms = 0
+            ch.half_cycle = 0
+            ch.half_cycle_known = False
             # last tracked Doppler becomes the re-acquisition hint
             # (warm-reset capability, gps_master.c:498-506)
             if ch.bit_count > 0:
@@ -793,17 +882,33 @@ class Receiver:
             )
             for ch in ready
         ]
-        obs = form_observations(chobs, meas_epoch_ms)
+        rel_l = self._relative_L(ready)
+        obs = form_observations(chobs, meas_epoch_ms,
+                                ref_prn=self._phase_ref_prn)
         if not obs:
             return
         from ..pvt.observables import LAMBDA_L1_M
 
         msm = []
         for o, ch in zip(obs, ready):
+            # carrier observable: form_observations has no carrier
+            # state, so attach the channel's half-cycle-corrected,
+            # clock-rebased phase here — without it the phaserange
+            # would freeze at its first-emission alignment value
+            o.L = rel_l[ch.prn]
+            # carrier-smoothed pseudorange: raw DLL code noise is
+            # meters-scale between emissions; the Hatch filter (the
+            # firmware's code-filter role, gps_master.c:332-388, but
+            # carrier-aided) keeps the emitted P code-carrier
+            # consistent.  Updating here AND at the solve cadence is
+            # fine — each update folds one (P, L) pair recursively.
+            o.P = ch.hatch.update(o.P, o.L)
             # phaserange: ambiguity initialized so it aligns with the
-            # pseudorange at first emission, carrier-continuous after
+            # pseudorange at first emission, carrier-continuous after.
+            # Positive Doppler = closing range (HatchState.update), so
+            # the range-domain phase observable DECREASES as L grows.
             if ch.rtcm_phase_align_m == 0.0:
-                ch.rtcm_phase_align_m = o.P - LAMBDA_L1_M * o.L
+                ch.rtcm_phase_align_m = o.P + LAMBDA_L1_M * o.L
             lock_s = (
                 (meas_epoch_ms - ch.lock_start_ms) / 1000.0
                 if ch.lock_start_ms >= 0 else 0.0
@@ -812,7 +917,8 @@ class Receiver:
                 sat=o.sat, pseudorange_m=o.P, doppler_hz=o.D,
                 cn0_dbhz=max(o.snr + 30.0, 0.0),
                 lock_time_s=lock_s,
-                phaserange_m=ch.rtcm_phase_align_m + LAMBDA_L1_M * o.L,
+                phaserange_m=ch.rtcm_phase_align_m - LAMBDA_L1_M * o.L,
+                half_cycle_ambiguous=not ch.half_cycle_known,
             ))
         from ..pvt.gpstime import time2gpst
 
@@ -836,6 +942,8 @@ class Receiver:
             ch.subframe_count = 0
             ch.bit_count = 0
             ch.state_name = "IDLE"
+            ch.half_cycle = 0
+            ch.half_cycle_known = False
         self.track_state = None
         self.acquire_all(samples, extra_hints=hints)
         self.start_tracking(samples, start_epoch=self.epoch_cursor)

@@ -159,3 +159,34 @@ def test_leading_garbage_then_stream():
     assert [e.subframe_id for e in events][:3] == [1, 2, 3]
     # subframe start epoch accounts for the garbage prefix
     assert events[0].start_epoch_ms == 137 * 20
+
+
+def test_mixed_dataset_held_out_of_pvt():
+    """Broadcast dataset cutover: once a new-IODE subframe lands, the
+    half-updated ephemeris (sf2 from dataset B, sf1/sf3 still A) must
+    NOT count as a full set — IS-GPS-200 matched-dataset rule.  The
+    firmware's oldiode check is commented out (nav_data_decode.c:85,
+    :109) and it would mix datasets here."""
+    a = dict(TEST_EPH)
+    b = dict(TEST_EPH, iodc=58, iode=58, toes=360000.0, toc_s=360000.0)
+
+    def events(eph_dict, tow6):
+        bits = build_bitstream(eph_dict, start_tow_6s=tow6,
+                               num_subframes=3, subframe_ids=(1, 2, 3))
+        return _feed(NavFramer(), bits)
+
+    ev_a = events(a, 58800)
+    ev_b = events(b, 60000)
+
+    eph = Ephemeris(sat=1)
+    for e in ev_a:
+        decode_subframe(e.bits, eph)
+    assert eph.has_full_set and eph.dataset_consistent
+
+    decode_subframe(ev_b[1].bits, eph)      # sf2, IODE 58 arrives first
+    assert not eph.has_full_set             # sf3 (57) / sf1 (IODC 57)
+    decode_subframe(ev_b[2].bits, eph)      # sf3, IODE 58
+    assert not eph.has_full_set             # sf1 IODC still 57
+    decode_subframe(ev_b[0].bits, eph)      # sf1, IODC 58
+    assert eph.has_full_set
+    assert eph.toes == 360000.0

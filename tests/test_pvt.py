@@ -377,3 +377,21 @@ def test_speed_gate_kills_phantom_velocity_hypothesis():
     assert not solution_plausible(sol)
     assert solution_plausible(sol, max_speed_mps=0.0), \
         "this scenario is exactly the one only the speed gate catches"
+
+
+def test_ephemeris_age_gate():
+    """Satellites whose ephemeris is older than MAXDTOE (7200 s) drop
+    out of satposs like unhealthy ones (RTKLIB satpos semantics; the
+    firmware, running minutes at a time, never hits this — a
+    long-running framework job does)."""
+    from stm32f4_sdr_gps_tpu.pvt.gpstime import timeadd
+
+    rr_true, obs_time, eph_map, obs = _four_sat_obs()
+    assert pntpos(obs, eph_map).ok
+
+    eph = eph_map[obs[0].sat]
+    eph.toe = timeadd(eph.toe, -8000.0)
+    rs, dts, var, svh, ok = satposs(obs_time, obs, eph_map)
+    assert not ok[0] and ok[1:].all()
+    # 3 usable satellites left: the solve must refuse, not extrapolate
+    assert not pntpos(obs, eph_map).ok

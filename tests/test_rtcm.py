@@ -56,11 +56,13 @@ def test_eph_1019_roundtrip():
 def test_msm_roundtrip(msg):
     obs = [
         MsmObs(sat=5, pseudorange_m=21_234_567.89, doppler_hz=1234.0,
-               cn0_dbhz=44.0, lock_time_s=10.0),
+               cn0_dbhz=44.0, lock_time_s=10.0,
+               half_cycle_ambiguous=False),
         MsmObs(sat=12, pseudorange_m=23_456_789.01, doppler_hz=-2500.0,
                cn0_dbhz=39.0, lock_time_s=0.2),
         MsmObs(sat=30, pseudorange_m=25_000_123.45, doppler_hz=10.0,
-               cn0_dbhz=47.0, lock_time_s=300.0),
+               cn0_dbhz=47.0, lock_time_s=300.0,
+               half_cycle_ambiguous=False),
     ]
     payload = encode_msm(msg, tow_s=345678.4, obs=obs)
     got = decode_msm(deframe(frame(payload)))
@@ -73,6 +75,8 @@ def test_msm_roundtrip(msg):
             o_in.pseudorange_m, abs=0.05
         )
         assert o_out["cn0_dbhz"] == round(o_in.cn0_dbhz)
+        # DF420 half-cycle ambiguity flag round-trips
+        assert o_out["half_cycle_ambiguous"] == o_in.half_cycle_ambiguous
         if msg == 1075:
             want_rate = -o_in.doppler_hz * (299792458.0 / 1.57542e9)
             assert o_out["range_rate_ms"] == pytest.approx(

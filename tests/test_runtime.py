@@ -188,6 +188,49 @@ def test_msm_lock_time_nontrivial():
     assert firsts == sorted(firsts)
 
 
+def test_half_cycle_resolution_and_phaserange_motion():
+    """Once nav polarity is pinned the Costas half-cycle ambiguity is
+    resolved (DF420 clears) and the MSM phaserange is carrier-
+    continuous: it moves WITH the pseudorange between emissions (a
+    frozen or sign-flipped phaserange both fail the consistency
+    bound).  The firmware never forms a carrier observable
+    (rtklib_common.c:84 leaves obsd L=0) — framework-only capability."""
+    x, _ = _make_capture(4400, seed=13)
+    rx = Receiver(_cfg(enable_rtcm=True))
+    rx.run(x)
+
+    for ch in rx.channels:
+        assert ch.half_cycle_known and ch.half_cycle in (-1, 1), ch.prn
+
+    frames = []
+    for f in rx.rtcm_frames:
+        payload = deframe(f)
+        if (payload[0] << 4) | (payload[1] >> 4) == 1075:
+            frames.append(decode_msm(payload))
+    assert len(frames) >= 2, "need successive MSM emissions"
+    assert all(not o["half_cycle_ambiguous"] for o in frames[-1]["obs"])
+
+    prev = {o["sat"]: o for o in frames[-2]["obs"]}
+    last = {o["sat"]: o for o in frames[-1]["obs"]}
+    moved = 0
+    for sat, o1 in last.items():
+        o0 = prev.get(sat)
+        if not o0 or not o0["phaserange_m"] or not o1["phaserange_m"]:
+            continue
+        d_ph = o1["phaserange_m"] - o0["phaserange_m"]
+        d_pr = o1["pseudorange_m"] - o0["pseudorange_m"]
+        # carrier delta tracks the (Hatch-smoothed) code delta.  Bound:
+        # DLL discriminator bias wanders a few m/s (half-chip lag
+        # spacing at 2 samples/chip), so allow 20 m; the failure modes
+        # this guards against — frozen phaserange, sign-flipped
+        # carrier, or drift at the reference range rate — all produce
+        # >=80 m here (deltas are 100-200 m between emissions).
+        assert abs(d_ph - d_pr) < 20.0, (sat, d_ph, d_pr)
+        if abs(d_ph) > 0.01:
+            moved += 1
+    assert moved, "phaserange frozen across emissions"
+
+
 def _receiver_with_consistent_channels(fault_ch=None, fault_ms=0):
     """Receiver whose channels carry a synthetic but physically
     consistent observables ledger (subframe boundary + code phase
