@@ -15,8 +15,21 @@ before execution finishes, which silently voids wall-clock timing.  The
 benchmark first runs a FLOP-floor canary (chained large matmuls whose
 minimum time is known from hardware peak); if the apparent FLOP/s is
 impossible, wall clock is rejected and the benchmark times the device
-with jax.profiler trace events (device-reported durations); if tracing
-is unavailable too, it falls back to an honest CPU run and says so.
+with jax.profiler trace events (device-reported durations, divided by
+the number of executions actually observed in the trace); if tracing is
+unavailable too, it falls back to an honest CPU run and says so.
+
+Transport robustness (learned rounds 1-2 on the axon tunnel):
+  - compiles through the tunnel are slow and wildly variable (52 s ..
+    >280 s for the SAME 200-epoch program) => a persistent compilation
+    cache (.jax_cache/) makes any compile a one-time cost;
+  - a failed device op poisons every later op in the same client, and
+    killing a client mid-claim wedges the tunnel for minutes => each
+    candidate path runs in its OWN child process that exits by
+    self-alarm (signal.alarm + os._exit), never by external kill.
+
+Measured r2 on TPU v5e (device trace): pallas-in-kernel-scan 151.8x,
+pallas-epl-scan 27.1x, jnp-scan 0.5x real-time.
 """
 
 from __future__ import annotations
@@ -26,8 +39,10 @@ import gzip
 import json
 import multiprocessing
 import os
-import shutil
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -36,6 +51,35 @@ PROBE_TIMEOUT_S = 120
 # Anything beyond this is physically impossible for one chip of any
 # current TPU generation in f32 — used to detect fake synchronization.
 MAX_PLAUSIBLE_TFLOPS = 500.0
+# Self-alarm budget inside each child; the parent's subprocess timeout
+# is this + margin and should never fire.
+CHILD_BUDGET_S = int(os.environ.get("BENCH_CHILD_BUDGET_S", "560"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
+TRACK_PATHS = ("jnp-scan", "pallas-epl-scan", "pallas-in-kernel-scan")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return jax
+
+
+def _arm_self_alarm():
+    def handler(signum, frame):  # noqa: ARG001
+        log(f"child self-alarm after {CHILD_BUDGET_S}s")
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(CHILD_BUDGET_S)
 
 
 def _probe_device(q):
@@ -59,23 +103,29 @@ def device_available() -> bool:
     if p.is_alive():
         p.terminate()
         p.join()
-        print("device probe timed out", file=sys.stderr)
+        log("device probe timed out")
         return False
     msg = q.get() if not q.empty() else "no response"
-    print(f"device probe: {msg}", file=sys.stderr)
+    log(f"device probe: {msg}")
     return not msg.startswith("ERROR")
 
 
 def wall_clock_is_honest() -> bool:
-    """FLOP-floor canary: chain of 8192^3 f32 matmuls (1.1 TFLOP each)."""
+    """FLOP-floor canary: chain of 8192^3 f32 matmuls (1.1 TFLOP each).
+
+    Data is generated on device (host->device of a 268 MB operand is
+    pure transport load and some tunnels reject large transfers).
+    """
     import jax
     import jax.numpy as jnp
 
     n = 20
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((8192, 8192))
-        .astype(np.float32)
-    ) * 1e-3
+
+    @jax.jit
+    def _gen(key):
+        return jax.random.normal(key, (8192, 8192), jnp.float32) * 1e-3
+
+    x = _gen(jax.random.PRNGKey(0))
 
     @jax.jit
     def step(a):
@@ -91,35 +141,33 @@ def wall_clock_is_honest() -> bool:
     wall = time.perf_counter() - t0
     tflops = n * 2 * 8192**3 / wall / 1e12
     honest = tflops <= MAX_PLAUSIBLE_TFLOPS
-    print(
+    log(
         f"sync canary: {n} matmuls in {wall * 1e3:.1f} ms => "
         f"{tflops:.1f} apparent TFLOP/s => wall clock "
-        f"{'HONEST' if honest else 'NOT trustworthy (async transport)'}",
-        file=sys.stderr,
+        f"{'HONEST' if honest else 'NOT trustworthy (async transport)'}"
     )
     return honest
 
 
-def _device_trace_seconds(run_fn, name_hint: str = "jit_"):
-    """Run ``run_fn`` under a jax.profiler trace; return summed device
-    event seconds for top-level jitted functions, or None."""
+def _trace_device_events(run_fn):
+    """Run ``run_fn`` under a jax.profiler trace; return
+    {name: (count, total_seconds)} for top-level jit_* device events,
+    or None if tracing failed."""
     import jax
 
-    trace_dir = "/tmp/bench_trace"
-    shutil.rmtree(trace_dir, ignore_errors=True)
+    trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
     try:
         jax.profiler.start_trace(trace_dir)
         run_fn()
-        time.sleep(2.0)   # let remote execution drain before stop
+        time.sleep(3.0)   # let remote execution drain before stop
         jax.profiler.stop_trace()
     except Exception as e:  # noqa: BLE001
-        print(f"profiler trace failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        log(f"profiler trace failed: {type(e).__name__}: {e}")
         return None
     files = sorted(glob.glob(trace_dir + "/**/*.trace.json.gz",
                              recursive=True))
     if not files:
-        print("no trace file produced", file=sys.stderr)
+        log("no trace file produced")
         return None
     data = json.loads(gzip.open(files[-1]).read())
     ev = data.get("traceEvents", [])
@@ -128,60 +176,68 @@ def _device_trace_seconds(run_fn, name_hint: str = "jit_"):
         for e in ev
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
-    dev = [
-        e for e in ev
-        if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), ""))
-        and str(e.get("name", "")).startswith(name_hint)
-    ]
-    if not dev:
-        print("no device events in trace", file=sys.stderr)
+    out = {}
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in str(pids.get(e.get("pid"), "")):
+            continue
+        nm = str(e.get("name", ""))
+        if not nm.startswith("jit_"):
+            continue
+        cnt, tot = out.get(nm, (0, 0.0))
+        out[nm] = (cnt + 1, tot + e["dur"] / 1e6)
+    if not out:
+        log("no device events in trace")
         return None
-    return sum(e["dur"] for e in dev) / 1e6
+    return out
 
 
-def run_bench() -> bool:
+def _trace_rt_multiple(fn, state0, epochs, block_epochs, n_blocks=4):
+    """Real-time multiple from device-reported trace events, normalized
+    by the number of executions the trace actually captured."""
     import jax
+
+    def chain():
+        # dispatch only — no block_until_ready inside the trace window:
+        # it can hang minutes on a degraded tunnel and expire the trace
+        # session.  The post-run drain sleep in _trace_device_events
+        # plus execution counting keeps the number honest (blocks that
+        # miss the window are simply not counted).
+        s = state0
+        for _ in range(n_blocks):
+            s, o = fn(s, epochs)
+
+    events = _trace_device_events(chain)
+    if not events:
+        return None
+    # the tracked function is the dominant jit_ event
+    name, (count, total_s) = max(events.items(), key=lambda kv: kv[1][1])
+    if count == 0 or total_s <= 0:
+        return None
+    log(f"trace: {count} executions of {name}, {total_s*1e3:.1f} ms device")
+    return count * block_epochs * 1e-3 / total_s
+
+
+# ----------------------------------------------------------------- children
+
+def _build_track_inputs(jax, block_epochs, n_chan=32):
     import jax.numpy as jnp
 
-    from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN, TrackConfig
-    from stm32f4_sdr_gps_tpu.ops.correlate import code_fft_conj
-    from stm32f4_sdr_gps_tpu.ops.pallas_epl import upsampled_code_doubled
-    from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import track_block_pallas
-    from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
-    from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power
+    from stm32f4_sdr_gps_tpu.config import BASEBAND_PLAN
     from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar
-    from stm32f4_sdr_gps_tpu.track.scan import track_block
     from stm32f4_sdr_gps_tpu.track.state import init_state
 
-    dev = jax.devices()[0]
-    platform = dev.platform
-    print(f"device: {dev} ({platform})", file=sys.stderr)
-
     plan = BASEBAND_PLAN
-    n_chan = 32
-
     prns = [(i % 32) + 1 for i in range(n_chan)]
     table_np = ca_table_bipolar(prns)
-    table = jnp.asarray(table_np)
-    u2 = jnp.asarray(upsampled_code_doubled(table_np))
     rng = np.random.default_rng(0)
+    state0 = init_state(
+        n_chan,
+        rng.uniform(0, 1023, n_chan),
+        rng.uniform(-5000, 5000, n_chan),
+    )
 
-    # BENCH_ASSUME_ASYNC=1 skips the canary and goes straight to
-    # device-reported trace timing (for harvest retries on a transport
-    # already proven async — the 268 MB canary transfer is pure load).
-    if platform != "cpu" and os.environ.get("BENCH_ASSUME_ASYNC") == "1":
-        print("assuming async transport (BENCH_ASSUME_ASYNC=1); "
-              "using trace timing", file=sys.stderr)
-        honest_wall = False
-    else:
-        honest_wall = platform == "cpu" or wall_clock_is_honest()
-
-    block_epochs = int(os.environ.get("BENCH_BLOCK_EPOCHS", "2000"))
-    # Generate the IQ block ON DEVICE (throughput is input-independent —
-    # noise exercises the identical compute).  The previous host
-    # jnp.asarray pushed ~33 MB through the transport, which some remote
-    # PJRT tunnels reject with UNIMPLEMENTED; PRNG generation needs only
-    # a 2-word key transfer.
     @jax.jit
     def _make_epochs(key):
         kr, ki = jax.random.split(key)
@@ -190,112 +246,233 @@ def run_bench() -> bool:
                 + 1j * jax.random.normal(ki, shape, dtype=jnp.float32))
 
     epochs = _make_epochs(jax.random.PRNGKey(0))
-    try:
-        jax.block_until_ready(epochs)
-        print(f"IQ block generated on device: {block_epochs} epochs",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"on-device IQ generation failed: {type(e).__name__}: "
-              f"{str(e)[:160]}", file=sys.stderr)
-        return False
-    state0 = init_state(
-        n_chan,
-        rng.uniform(0, 1023, n_chan),
-        rng.uniform(-5000, 5000, n_chan),
-    )
+    jax.block_until_ready(epochs)
+    log(f"IQ block generated on device: {block_epochs} epochs")
+    return plan, table_np, state0, epochs
 
-    # Candidate tracking paths.  The headline metric is the FASTEST
-    # verified path (all three are equivalence-tested against each
-    # other in tests/test_pallas_scan.py / test_pallas.py).  Pallas
-    # paths only run natively (interpret mode on CPU measures the
-    # emulator, not the framework).
-    # NOTE: no buffer donation — donation hangs on some remote transports
-    cfg_jnp = TrackConfig()
-    cfg_epl = TrackConfig(use_pallas=True)
-    candidates = [
-        ("jnp-scan",
-         jax.jit(lambda st, ep: track_block(st, ep, table, plan, cfg_jnp))),
-    ]
-    if platform != "cpu":
-        candidates += [
-            ("pallas-epl-scan",
-             jax.jit(lambda st, ep: track_block(st, ep, u2, plan, cfg_epl))),
-            ("pallas-in-kernel-scan",
-             jax.jit(lambda st, ep: track_block_pallas(
-                 st, ep, u2, plan, cfg_jnp))),
-        ]
-    # BENCH_PATHS=comma,list restricts candidates so a flaky remote
-    # transport can try one path per short-lived process (a failed op
-    # usually poisons every later op in the same client).
-    only = os.environ.get("BENCH_PATHS")
-    if only:
-        keep = {s.strip() for s in only.split(",")}
-        candidates = [c for c in candidates if c[0] in keep]
 
+def _make_track_fn(jax, name, plan, table_np):
+    import jax.numpy as jnp
+
+    from stm32f4_sdr_gps_tpu.config import TrackConfig
+    from stm32f4_sdr_gps_tpu.ops.pallas_epl import upsampled_code_doubled
+    from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import track_block_pallas
+    from stm32f4_sdr_gps_tpu.track.scan import track_block
+
+    cfg = TrackConfig()
+    if name == "jnp-scan":
+        table = jnp.asarray(table_np)
+        return jax.jit(lambda st, ep: track_block(st, ep, table, plan, cfg))
+    u2 = jnp.asarray(upsampled_code_doubled(table_np))
+    if name == "pallas-epl-scan":
+        cfg_epl = TrackConfig(use_pallas=True)
+        return jax.jit(
+            lambda st, ep: track_block(st, ep, u2, plan, cfg_epl))
+    if name == "pallas-in-kernel-scan":
+        return jax.jit(
+            lambda st, ep: track_block_pallas(st, ep, u2, plan, cfg))
+    raise SystemExit(f"unknown path {name}")
+
+
+def child_canary(result_file):
+    _arm_self_alarm()
+    jax = _setup_jax()
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    honest = wall_clock_is_honest()
+    with open(result_file, "w") as f:
+        json.dump({"honest_wall": honest, "platform": dev.platform}, f)
+
+
+def child_track(name, result_file, honest_wall, block_epochs):
+    _arm_self_alarm()
+    jax = _setup_jax()
+    dev = jax.devices()[0]
+    platform = dev.platform
+    log(f"device: {dev} ({platform})")
+    if platform == "cpu" and name != "jnp-scan":
+        # Pallas paths only run natively (interpret mode on CPU measures
+        # the emulator, not the framework)
+        log(f"{name}: skipped on CPU")
+        return
+    plan, table_np, state0, epochs = _build_track_inputs(jax, block_epochs)
+    fn = _make_track_fn(jax, name, plan, table_np)
+    t0 = time.perf_counter()
+    fn = fn.lower(state0, epochs).compile()
+    log(f"tracking[{name}]: compiled in {time.perf_counter()-t0:.1f}s")
+    st, outs = fn(state0, epochs)    # warm up
+    jax.block_until_ready((st, outs))
+    rt = None
     method = None
-    best = None      # (rt_multiple, name)
-    for name, fn in candidates:
-        # compile and warm-up as separate stages so a transport failure
-        # is attributable (compile happens host/server-side; the first
-        # run exercises transfer + execution)
-        try:
-            fn = fn.lower(state0, epochs).compile()
-            print(f"tracking[{name}]: compiled", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"tracking[{name}]: COMPILE failed: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-            continue
-        try:
-            st, outs = fn(state0, epochs)    # warm up
-            jax.block_until_ready((st, outs))
-        except Exception as e:  # noqa: BLE001
-            print(f"tracking[{name}]: RUN failed: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-            continue
-        rt = None
-        if honest_wall:
-            n_blocks = 8 if platform == "cpu" else 64
-            t0 = time.perf_counter()
-            st = state0
-            for _ in range(n_blocks):
-                st, outs = fn(st, epochs)
-            jax.block_until_ready((st, outs))
-            wall = time.perf_counter() - t0
-            rt = n_blocks * block_epochs * 1e-3 / wall
-            method = "wall-clock chain"
-        else:
-            n_blocks = 4
+    if honest_wall:
+        n_blocks = 8 if platform == "cpu" else 64
+        t0 = time.perf_counter()
+        st = state0
+        for _ in range(n_blocks):
+            st, outs = fn(st, epochs)
+        jax.block_until_ready((st, outs))
+        wall = time.perf_counter() - t0
+        rt = n_blocks * block_epochs * 1e-3 / wall
+        method = "wall-clock chain"
+    else:
+        rt = _trace_rt_multiple(fn, state0, epochs, block_epochs)
+        method = "profiler device trace"
+    if rt is None:
+        log(f"tracking[{name}]: no trustworthy timing")
+        return
+    log(f"tracking[{name}] ({method}): {rt:.1f}x real-time")
+    with open(result_file, "w") as f:
+        json.dump({"name": name, "rt": rt, "method": method,
+                   "platform": platform}, f)
 
-            def chain():
-                s = state0
-                for _ in range(n_blocks):
-                    s, o = fn(s, epochs)
-                jax.block_until_ready((s, o))
 
-            dev_s = _device_trace_seconds(chain)
-            if dev_s is not None and dev_s > 0:
-                rt = n_blocks * block_epochs * 1e-3 / dev_s
-                method = "profiler device trace"
-        if rt is None:
-            print(f"tracking[{name}]: no trustworthy timing",
-                  file=sys.stderr)
-            continue
-        print(
-            f"tracking[{name}] ({method}): {n_blocks}x{block_epochs} "
-            f"epochs x {n_chan} ch => {rt:.1f}x real-time",
-            file=sys.stderr,
+def child_acq(result_file, honest_wall):
+    _arm_self_alarm()
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN
+    from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power
+    from stm32f4_sdr_gps_tpu.ops.correlate import code_fft_conj
+    from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    plan = BASEBAND_PLAN
+    acq = AcqConfig()
+    prns = list(range(1, 33))
+    # cfc/rot must be jit *arguments*, not closure constants: a captured
+    # device array is constant-folded at lowering, which needs a
+    # device->host copy (UNIMPLEMENTED on the axon tunnel).
+    with jax.default_device(jax.devices("cpu")[0]):
+        cfc = np.asarray(code_fft_conj(prns, plan))
+        bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
+        rot = np.asarray(doppler_rotations(
+            jnp.asarray(bins_host),
+            plan.samples_per_epoch, plan.sample_rate_hz))
+
+    @jax.jit
+    def _make(key):
+        kr, ki = jax.random.split(key)
+        shape = (acq.noncoherent_epochs, plan.samples_per_epoch)
+        return (jax.random.normal(kr, shape, dtype=jnp.float32)
+                + 1j * jax.random.normal(ki, shape, dtype=jnp.float32))
+
+    acq_epochs = _make(jax.random.PRNGKey(1))
+    cfc_d = jax.device_put(cfc)
+    rot_d = jax.device_put(rot)
+    power_fn = jax.jit(acquisition_power)
+    t0 = time.perf_counter()
+    power_fn = power_fn.lower(acq_epochs, cfc_d, rot_d).compile()
+    log(f"acquisition: compiled in {time.perf_counter()-t0:.1f}s")
+    # warm-up dispatch with NO sync: block_until_ready on this output
+    # intermittently hangs minutes on the tunnel (observed r2) and
+    # poisons the subsequent profiler session
+    power_fn(acq_epochs, cfc_d, rot_d)
+    time.sleep(5.0)
+    log("warm-up dispatched")
+    acq_s = None
+    if honest_wall:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            p = power_fn(acq_epochs, cfc_d, rot_d)
+        jax.block_until_ready(p)
+        acq_s = (time.perf_counter() - t0) / 5
+    else:
+        def chain():
+            for _ in range(4):
+                power_fn(acq_epochs, cfc_d, rot_d)
+
+        events = _trace_device_events(chain)
+        if events:
+            name, (count, total_s) = max(events.items(),
+                                         key=lambda kv: kv[1][1])
+            if count and total_s > 0:
+                acq_s = total_s / count
+    if acq_s:
+        log(
+            f"acquisition: 32 PRN x {len(bins_host)} bins x "
+            f"{acq.noncoherent_epochs} epochs in {acq_s * 1e3:.1f} ms "
+            f"({acq_s / 32 * 1e3:.2f} ms/PRN; firmware: ~0.2 s/bin "
+            f"serial => ~58 s/PRN)"
         )
-        if best is None or rt > best[0]:
-            best = (rt, name)
+        with open(result_file, "w") as f:
+            json.dump({"acq_s": acq_s}, f)
 
-    if best is None:
-        print("no trustworthy device timing available", file=sys.stderr)
-        return False
 
-    rt_multiple, best_name = best
-    samples_per_s = plan.sample_rate_hz * rt_multiple
-    print(f"headline path: {best_name}", file=sys.stderr)
+# ------------------------------------------------------------------- parent
 
+def _run_child(args_env, timeout_s):
+    env = dict(os.environ)
+    env.update(args_env)
+    try:
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"child {args_env.get('BENCH_CHILD')} exceeded parent timeout "
+            f"(self-alarm failed?)")
+
+
+def _read_json(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def parent_main():
+    if not device_available():
+        _cpu_fallback()
+        return
+
+    tmp = tempfile.mkdtemp(prefix="bench_results_")
+    block_epochs = os.environ.get("BENCH_BLOCK_EPOCHS", "200")
+    parent_timeout = CHILD_BUDGET_S + 60
+
+    # 1. canary (own process: 20 chained 8192^3 matmuls are pure load
+    #    and a transport failure here must not poison the real runs)
+    canary_file = os.path.join(tmp, "canary.json")
+    if os.environ.get("BENCH_ASSUME_ASYNC") == "1":
+        log("assuming async transport (BENCH_ASSUME_ASYNC=1); "
+            "using trace timing")
+        canary = {"honest_wall": False, "platform": "tpu"}
+    else:
+        _run_child({"BENCH_CHILD": "canary",
+                    "BENCH_RESULT_FILE": canary_file}, parent_timeout)
+        canary = _read_json(canary_file)
+    if canary is None:
+        log("canary child produced no result; falling back to CPU")
+        _cpu_fallback()
+        return
+    honest_wall = canary["honest_wall"]
+
+    # 2. one child per tracking path (isolated client per path)
+    only = os.environ.get("BENCH_PATHS")
+    paths = ([s.strip() for s in only.split(",")] if only
+             else list(TRACK_PATHS))
+    results = []
+    for name in paths:
+        rf = os.path.join(tmp, f"track_{name}.json")
+        _run_child({"BENCH_CHILD": f"track:{name}",
+                    "BENCH_RESULT_FILE": rf,
+                    "BENCH_HONEST_WALL": "1" if honest_wall else "0",
+                    "BENCH_BLOCK_EPOCHS": block_epochs}, parent_timeout)
+        r = _read_json(rf)
+        if r:
+            results.append(r)
+
+    if not results:
+        log("no trustworthy device timing from any path")
+        _cpu_fallback()
+        return
+
+    best = max(results, key=lambda r: r["rt"])
+    from stm32f4_sdr_gps_tpu.config import BASEBAND_PLAN
+
+    rt_multiple = best["rt"]
+    samples_per_s = BASEBAND_PLAN.sample_rate_hz * rt_multiple
+    log(f"headline path: {best['name']} ({best['method']})")
     print(json.dumps({
         "metric": "iq_samples_per_s_per_chip_32ch_tracking",
         "value": round(samples_per_s, 1),
@@ -304,47 +481,24 @@ def run_bench() -> bool:
     }))
     sys.stdout.flush()
 
-    # acquisition secondary benchmark (same timing discipline); failures
-    # here must not discard the tracking headline already printed
-    try:
-        acq = AcqConfig()
-        cfc = code_fft_conj(prns, plan)
-        bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
-        rot = doppler_rotations(jnp.asarray(bins_host),
-                                plan.samples_per_epoch, plan.sample_rate_hz)
-        acq_epochs = epochs[: acq.noncoherent_epochs]
-        power = acquisition_power(acq_epochs, cfc, rot)
-        power.block_until_ready()
-        if honest_wall:
-            t0 = time.perf_counter()
-            for _ in range(5):
-                power = acquisition_power(acq_epochs, cfc, rot)
-            power.block_until_ready()
-            acq_s = (time.perf_counter() - t0) / 5
-        else:
-            acq_s = _device_trace_seconds(
-                lambda: jax.block_until_ready(
-                    acquisition_power(acq_epochs, cfc, rot))
-            )
-        if acq_s:
-            print(
-                f"acquisition: 32 PRN x {len(bins_host)} bins x "
-                f"{acq.noncoherent_epochs} epochs in {acq_s * 1e3:.1f} ms "
-                f"({acq_s / 32 * 1e3:.2f} ms/PRN; firmware: ~0.2 s/bin "
-                f"serial => ~58 s/PRN)",
-                file=sys.stderr,
-            )
-    except Exception as e:  # noqa: BLE001
-        print(f"acquisition bench skipped: {type(e).__name__}: "
-              f"{str(e)[:160]}", file=sys.stderr)
-    return True
+    # 3. acquisition secondary benchmark (failures here must not discard
+    #    the tracking headline already printed).  Profiling THIS program
+    #    fails with UNIMPLEMENTED in some tunnel windows while tracking
+    #    traces work fine (r2 observation) — retry once and accept
+    #    opportunistic success; the honest CPU number is on record in
+    #    SCALING.md.
+    af = os.path.join(tmp, "acq.json")
+    for _ in range(2):
+        _run_child({"BENCH_CHILD": "acq",
+                    "BENCH_RESULT_FILE": af,
+                    "BENCH_HONEST_WALL": "1" if honest_wall else "0"},
+                   parent_timeout)
+        if _read_json(af):
+            break
 
 
 def _cpu_fallback():
-    print(
-        "falling back to CPU (fallback numbers are NOT a TPU result)",
-        file=sys.stderr,
-    )
+    log("falling back to CPU (fallback numbers are NOT a TPU result)")
     env = dict(os.environ)
     env["BENCH_FORCE_CPU"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
@@ -352,43 +506,50 @@ def _cpu_fallback():
     os.execve(sys.executable, [sys.executable, __file__], env)
 
 
-TPU_ATTEMPT_TIMEOUT_S = 420
+def cpu_main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    block_epochs = int(os.environ.get("BENCH_BLOCK_EPOCHS", "2000"))
+    plan, table_np, state0, epochs = _build_track_inputs(jax, block_epochs)
+    fn = _make_track_fn(jax, "jnp-scan", plan, table_np)
+    fn = fn.lower(state0, epochs).compile()
+    st, outs = fn(state0, epochs)
+    jax.block_until_ready((st, outs))
+    n_blocks = 8
+    t0 = time.perf_counter()
+    st = state0
+    for _ in range(n_blocks):
+        st, outs = fn(st, epochs)
+    jax.block_until_ready((st, outs))
+    wall = time.perf_counter() - t0
+    rt = n_blocks * block_epochs * 1e-3 / wall
+    log(f"tracking[jnp-scan] (CPU wall-clock): {rt:.2f}x real-time")
+    print(json.dumps({
+        "metric": "iq_samples_per_s_per_chip_32ch_tracking",
+        "value": round(plan.sample_rate_hz * rt, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(rt, 2),
+    }))
 
 
 def main():
-    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
-    attempt = os.environ.get("BENCH_TPU_ATTEMPT") == "1"
-
-    if force_cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        sys.exit(0 if run_bench() else 1)
-
-    if attempt:
-        # child process: one full TPU attempt, no fallback
-        if not device_available():
-            sys.exit(2)
-        sys.exit(0 if run_bench() else 1)
-
-    # parent: run the TPU attempt under a hard watchdog (a wedged remote
-    # transport can hang any device op indefinitely), else CPU fallback.
-    import subprocess
-
-    env = dict(os.environ)
-    env["BENCH_TPU_ATTEMPT"] = "1"
-    try:
-        rc = subprocess.run(
-            [sys.executable, __file__],
-            env=env,
-            timeout=TPU_ATTEMPT_TIMEOUT_S,
-        ).returncode
-    except subprocess.TimeoutExpired:
-        print("TPU attempt timed out", file=sys.stderr)
-        rc = -1
-    if rc == 0:
+    child = os.environ.get("BENCH_CHILD")
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        cpu_main()
         return
-    _cpu_fallback()
+    if child == "canary":
+        child_canary(os.environ["BENCH_RESULT_FILE"])
+    elif child and child.startswith("track:"):
+        child_track(child.split(":", 1)[1],
+                    os.environ["BENCH_RESULT_FILE"],
+                    os.environ.get("BENCH_HONEST_WALL") == "1",
+                    int(os.environ.get("BENCH_BLOCK_EPOCHS", "200")))
+    elif child == "acq":
+        child_acq(os.environ["BENCH_RESULT_FILE"],
+                  os.environ.get("BENCH_HONEST_WALL") == "1")
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":
