@@ -5,20 +5,30 @@ The production path runs the per-epoch step under ``lax.scan``
 This kernel moves the *entire* loop — code NCO, carrier wipe-off, E/P/L
 correlation, DLL/Costas-PLL/FLL, false-lock watchdog, SNR estimator and
 bit sync (tracking.c:92-393 + nav_data.c:46-138 equivalents) — into a
-single ``pallas_call`` with ``grid=(T,)``:
+single ``pallas_call`` with ``grid=(T/EPB,)``:
 
 * the epoch stream is auto-DMA'd HBM→VMEM by the Pallas pipeline
   (BlockSpec index_map over the grid) — compute overlaps the fetch of
-  the next epoch, which the scan-of-kernels structure cannot do;
+  the next block, which the scan-of-kernels structure cannot do; EPB
+  epochs run per grid step under an in-kernel ``fori_loop`` because the
+  per-step overhead (~3 us) would otherwise dominate the ~1.5 us of
+  real per-epoch work;
 * ALL per-channel loop state lives in VMEM scratch as (field, C, 1)
   planes persisting across grid steps (TPU grid steps execute
   sequentially on a core), and every loop-filter update is a vector op
   over the channel axis — v1's scalar per-channel ``fori_loop`` is gone;
 * the E/P/L replicas are cached in VMEM and re-rolled only when a
   channel's integer half-chip shift M changes (every ~100+ epochs per
-  channel under normal code drift), amortizing the three
+  channel under normal code drift; a vectorized any-changed check skips
+  even the scalar scan loop on quiet epochs), amortizing the three
   ``pltpu.roll``s of the doubled code that dominated v1;
-* per-epoch observables stream out through a (1, C, NOUT) VMEM block.
+* the carrier cos/sin ramp — the most expensive VPU op in the kernel —
+  is cached per channel (PallasScanState.ramp/.dref, carried state so
+  resume stays bit-exact) and rebuilt only when a channel's Doppler
+  drifts >8 Hz from its cached value; per epoch the cached ramp gets a
+  2nd-order residual-frequency correction (~2e-5 rad max error) plus an
+  exact scalar phase rotation;
+* per-epoch observables stream out through an (EPB, C, NOUT) VMEM block.
 
 v2 closes v1's documented scope cuts: the SNR estimator
 (tracking.c:147-169) runs in-kernel, the coherent-bit-vote and
@@ -72,6 +82,15 @@ NI32 = len(_I32_FIELDS)
 # 8 snr_db, 9 code_wrapped, 10 ie, 11 qe, 12 il, 13 ql, 14-15 spare
 NOUT = 16
 
+# carrier-ramp cache refresh threshold (Hz): the per-epoch 2nd-order
+# delta-f correction is accurate to ~2e-5 rad at this residual
+_RAMP_REFRESH_HZ = 8.0
+
+# epochs per grid step: each TPU grid step carries fixed
+# DMA/synchronization overhead (~3 us measured at 1 epoch/step, 60% of
+# the step), so EPB epochs run per step under an in-kernel fori_loop
+EPB = 8
+
 
 def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             win_len: int):
@@ -115,11 +134,13 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
         return jax.lax.shift_right_logical(s, 8).astype(f32) / f32(1 << 24)
 
     def kernel(f32_init, i32_init, win_init, x_ref, u2_ref,
-               out_ref, f32_out, i32_out, win_out,
-               f32_st, i32_st, win_st, rep_st, m_cache):
-        t = pl.program_id(0)
+               ramp_init, dref_init,
+               out_ref, f32_out, i32_out, win_out, ramp_out, dref_out,
+               f32_st, i32_st, win_st, rep_st, m_cache,
+               m_plane, ramp_st, dref):
+        g = pl.program_id(0)
 
-        @pl.when(t == 0)
+        @pl.when(g == 0)
         def _load_state():
             for i in range(NF32):
                 f32_st[i] = f32_init[i]
@@ -129,12 +150,24 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 win_st[i] = win_init[i]
             for c in range(n_chan):
                 m_cache[c] = -1          # force replica fill on epoch 0
+            m_plane[0] = jnp.full((n_chan, 1), -1, jnp.int32)
+            # carrier-ramp cache is CARRIED state (PallasScanState.ramp
+            # / .dref): a resumed run must continue with the exact cache
+            # the unbroken run would hold, or split-vs-full outputs
+            # diverge at the correction's ~1e-5 level
+            ramp_st[0] = ramp_init[0]
+            ramp_st[1] = ramp_init[1]
+            dref[0] = dref_init[0]
 
         # ---- replica cache refresh (the only per-channel loop) ----------
         # M = integer half-chip shift of the doubled upsampled code
         # (ops.pallas_epl equivalence); it changes only when the code
         # phase crosses a half-chip boundary, so the three rolls run
-        # rarely per channel.
+        # rarely per channel.  The 32-iteration scalar loop itself is
+        # expensive even when no channel rolls, so a vectorized
+        # any-changed check (m_plane mirrors m_cache as a VMEM row —
+        # per-channel scalar VMEM stores are illegal, vector stores are
+        # fine) skips it entirely on most epochs.
         def refresh_body(c, _):
             cpc = f32_st[0, c, 0]
             mc = jnp.floor(2.0 * cpc).astype(jnp.int32) % S
@@ -152,245 +185,285 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
 
             return 0
 
-        jax.lax.fori_loop(0, n_chan, refresh_body, 0)
+        # ---- EPB epochs per grid step (amortizes per-step overhead) ----
+        def epoch_body(ei, _):
+            # trailing pad epochs (t_cnt not a multiple of EPB) are
+            # skipped entirely: no state advance, output rows sliced off
+            @pl.when(g * EPB + ei < t_cnt)
+            def _valid_epoch():
+                cp_now = f32_st[0]
+                mc_vec = jnp.floor(2.0 * cp_now).astype(jnp.int32) % S
+                mc_vec = jnp.where(mc_vec == 0, S, mc_vec)
 
-        # ---- vector state reads (each (C, 1)) ----------------------------
-        cp = f32_st[0]
-        dop = f32_st[1]
-        ph = f32_st[2]
-        dll_prev = f32_st[3]
-        pll_prev = f32_st[4]
-        fll_theta = f32_st[5]
-        fll_err = f32_st[6]
-        acq_dop = f32_st[7]
-        snr_i = f32_st[8]
-        snr_q = f32_st[9]
-        snr_db = f32_st[10]
-        bit_ip = f32_st[11]
-        bit_qp = f32_st[12]
-        fll_primed = i32_st[0]
-        prev_sign = i32_st[1]
-        last_swap = i32_st[2]
-        rpc = i32_st[3]
-        sync = i32_st[4]
-        old_rem = i32_st[5]
-        pos_cnt = i32_st[6]
-        neg_cnt = i32_st[7]
-        bad_cnt = i32_st[8]
-        master = i32_st[9]
-        snr_cnt = i32_st[10]
-        epoch = i32_st[11]
-        wraps = i32_st[12]
-        in_sync = sync == 1
+                @pl.when(jnp.any(mc_vec != m_plane[0]))
+                def _refresh_replicas():
+                    jax.lax.fori_loop(0, n_chan, refresh_body, 0)
+                    m_plane[0] = mc_vec
 
-        # ---- carrier wipe-off, all channels at once ----------------------
-        k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(f32)
-        ang = ph + (dop / fs) * k               # (C,1)+(C,1)*(1,SP)->(C,SP)
-        ang = ang - jnp.floor(ang)
-        cosv = jnp.cos(two_pi * ang)
-        sinv = jnp.sin(two_pi * ang)
-        xr = x_ref[0, 0:1, :]
-        xi = x_ref[0, 1:2, :]
-        yr = xr * cosv + xi * sinv
-        yi = xi * cosv - xr * sinv
+                # ---- vector state reads (each (C, 1)) ----------------------------
+                cp = f32_st[0]
+                dop = f32_st[1]
+                ph = f32_st[2]
+                dll_prev = f32_st[3]
+                pll_prev = f32_st[4]
+                fll_theta = f32_st[5]
+                fll_err = f32_st[6]
+                acq_dop = f32_st[7]
+                snr_i = f32_st[8]
+                snr_q = f32_st[9]
+                snr_db = f32_st[10]
+                bit_ip = f32_st[11]
+                bit_qp = f32_st[12]
+                fll_primed = i32_st[0]
+                prev_sign = i32_st[1]
+                last_swap = i32_st[2]
+                rpc = i32_st[3]
+                sync = i32_st[4]
+                old_rem = i32_st[5]
+                pos_cnt = i32_st[6]
+                neg_cnt = i32_st[7]
+                bad_cnt = i32_st[8]
+                master = i32_st[9]
+                snr_cnt = i32_st[10]
+                epoch = i32_st[11]
+                wraps = i32_st[12]
+                in_sync = sync == 1
 
-        # ---- E/P/L correlations (lane reductions) ------------------------
-        ie = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
-        qe = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
-        ip = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
-        qp = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
-        il = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
-        ql = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
+                # ---- carrier wipe-off, all channels at once ----------------------
+                # cos/sin over (C, SP) are the single most expensive VPU ops in
+                # the kernel (~1.7 us/epoch measured), so the Doppler ramp
+                # e^{j*2pi*(dop/fs)*k} is cached per channel and re-built
+                # (vectorized, all channels at once) only when any channel's
+                # Doppler moved > _RAMP_REFRESH_HZ from its cached value.  Per
+                # epoch the cached ramp is corrected by the residual delta-f to
+                # SECOND order (max phase error x^3/6 ~ 2e-5 rad at 8 Hz —
+                # far below the correlator noise floor and the polynomial
+                # Costas error), then rotated by the scalar carrier phase.
+                k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(f32)
 
-        # ---- nav-bit edge-zone freeze (track_epoch_step) ------------------
-        rem_pred = jnp.mod(epoch - last_swap, cib)
-        edge = in_sync & ((rem_pred == 0) | (rem_pred == cib - 1))
+                @pl.when(jnp.any(jnp.abs(dop - dref[0]) > _RAMP_REFRESH_HZ))
+                def _refresh_ramp():
+                    a = (dop / fs) * k
+                    a = a - jnp.floor(a)
+                    ramp_st[0] = jnp.cos(two_pi * a)
+                    ramp_st[1] = jnp.sin(two_pi * a)
+                    dref[0] = dop
 
-        # ---- DLL (tracking.c:333-393) -------------------------------------
-        e2 = ie * ie + qe * qe
-        l2 = il * il + ql * ql
-        cerr_raw = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
-        cerr = jnp.where(edge, dll_prev, cerr_raw)
-        ddelta = jnp.where(
-            edge, 0.0,
-            cfg.dll_c1 * (cerr - dll_prev) + cfg.dll_c2 * cfg.dt_s * cerr,
-        ) / cfg.fine_ratio
-        code_freq = cps * (1.0 + dop / FREQ_L1_HZ)
-        unwrapped = cp + code_freq * S + ddelta
-        new_cp = jnp.mod(unwrapped, f32(CODE_LENGTH))
-        nominal = cp + f32(cps) * S
-        wrapped_flag = jnp.abs(unwrapped - nominal) > (CODE_LENGTH / 2)
+                xk = (two_pi / fs) * (dop - dref[0]) * k      # (C,SP) residual angle
+                rc = ramp_st[0]
+                rs = ramp_st[1]
+                corr = 1.0 - 0.5 * xk * xk
+                cosd = rc * corr - xk * rs
+                sind = rs * corr + xk * rc
+                pc = jnp.cos(two_pi * ph)                     # (C,1): 32 els, cheap
+                ps = jnp.sin(two_pi * ph)
+                cosv = pc * cosd - ps * sind
+                sinv = ps * cosd + pc * sind
+                xr = x_ref[ei, 0:1, :]
+                xi = x_ref[ei, 1:2, :]
+                yr = xr * cosv + xi * sinv
+                yi = xi * cosv - xr * sinv
 
-        # ---- Costas PLL (tracking.c:175-209) -------------------------------
-        perr = costas_err(ip, qp)
-        c1 = jnp.where(in_sync, cfg.pll_narrow_c1, cfg.pll_wide_c1)
-        c2 = jnp.where(in_sync, cfg.pll_narrow_c2, cfg.pll_wide_c2)
-        pll_delta = (
-            c1 * wrap_half(perr - pll_prev) + c2 * cfg.dt_s * perr
-        ) * f32(cfg.pll_scale)
+                # ---- E/P/L correlations (lane reductions) ------------------------
+                ie = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
+                qe = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
+                ip = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
+                qp = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
+                il = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
+                ql = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
 
-        # ---- FLL (tracking.c:214-256) --------------------------------------
-        fdiff = wrap_half(perr - fll_theta)
-        odiff = wrap_half(fdiff - fll_err)
-        fll_delta = jnp.where(
-            (fll_primed == 1) & ~edge,
-            (cfg.fll_c1 * cfg.dt_s * odiff + cfg.fll_c2 * cfg.dt_s * fdiff)
-            * f32(cfg.fll_scale),
-            0.0,
-        )
+                # ---- nav-bit edge-zone freeze (track_epoch_step) ------------------
+                rem_pred = jnp.mod(epoch - last_swap, cib)
+                edge = in_sync & ((rem_pred == 0) | (rem_pred == cib - 1))
 
-        # ---- 20 ms coherent PLL (TrackConfig.coherent_pll) -----------------
-        phase_err_store = perr
-        if cfg.coherent_pll:
-            rem_now = jnp.mod(epoch - last_swap, cib)
-            bit_done = in_sync & (rem_now < old_rem)
-            perr_bit = costas_err(bit_ip, bit_qp)
-            dt_bit = cib * cfg.dt_s
-            pll_delta_bit = (
-                cfg.pll_bit_c1 * wrap_half(perr_bit - pll_prev)
-                + cfg.pll_bit_c2 * dt_bit * perr_bit
-            ) * f32(cfg.pll_bit_scale)
-            pll_delta = jnp.where(
-                in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
-            )
-            fll_delta = jnp.where(in_sync, 0.0, fll_delta)
-            phase_err_store = jnp.where(
-                in_sync, jnp.where(bit_done, perr_bit, pll_prev), perr
-            )
+                # ---- DLL (tracking.c:333-393) -------------------------------------
+                e2 = ie * ie + qe * qe
+                l2 = il * il + ql * ql
+                cerr_raw = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
+                cerr = jnp.where(edge, dll_prev, cerr_raw)
+                ddelta = jnp.where(
+                    edge, 0.0,
+                    cfg.dll_c1 * (cerr - dll_prev) + cfg.dll_c2 * cfg.dt_s * cerr,
+                ) / cfg.fine_ratio
+                code_freq = cps * (1.0 + dop / FREQ_L1_HZ)
+                unwrapped = cp + code_freq * S + ddelta
+                new_cp = jnp.mod(unwrapped, f32(CODE_LENGTH))
+                nominal = cp + f32(cps) * S
+                wrapped_flag = jnp.abs(unwrapped - nominal) > (CODE_LENGTH / 2)
 
-        new_dop = dop + pll_delta + fll_delta
-        new_ph = ph + dop * (S / fs)
-        new_ph = new_ph - jnp.floor(new_ph)
+                # ---- Costas PLL (tracking.c:175-209) -------------------------------
+                perr = costas_err(ip, qp)
+                c1 = jnp.where(in_sync, cfg.pll_narrow_c1, cfg.pll_wide_c1)
+                c2 = jnp.where(in_sync, cfg.pll_narrow_c2, cfg.pll_wide_c2)
+                pll_delta = (
+                    c1 * wrap_half(perr - pll_prev) + c2 * cfg.dt_s * perr
+                ) * f32(cfg.pll_scale)
 
-        # ---- false-lock watchdog (tracking.c:261-327) -----------------------
-        sgn = jnp.where(ip > 0, 1, -1)
-        # transitions of the POST-shift window [old[1:], sgn] — the
-        # (old[1] != old[0]) pair leaves the window this epoch
-        trans = (sgn != win_st[win_len - 1]).astype(jnp.int32)
-        for i in range(2, win_len):
-            trans = trans + (win_st[i] != win_st[i - 1]).astype(jnp.int32)
-        wend = jnp.mod(epoch, cfg.pll_check_window) == (
-            cfg.pll_check_window - 1)
-        bad = trans > 1
-        bad2 = jnp.where(
-            wend,
-            jnp.where(bad, jnp.minimum(bad_cnt + 1, 10),
-                      jnp.maximum(bad_cnt - 1, 0)),
-            bad_cnt,
-        )
-        master2 = jnp.where(
-            wend & (bad2 > 9), master + 1,
-            jnp.where(wend & (bad2 == 0), 0, master),
-        )
-        if cfg.coherent_pll:
-            # the per-epoch sign-transition statistic is meaningless at
-            # the C/N0 this mode targets — freeze the watchdog while
-            # synced (track_epoch_step does the same)
-            hold = in_sync
-            for i in range(win_len - 1):
-                win_st[i] = jnp.where(hold, win_st[i], win_st[i + 1])
-            win_st[win_len - 1] = jnp.where(hold, win_st[win_len - 1], sgn)
-            bad2 = jnp.where(hold, bad_cnt, bad2)
-            master2 = jnp.where(hold, master, master2)
-        else:
-            for i in range(win_len - 1):
-                win_st[i] = win_st[i + 1]
-            win_st[win_len - 1] = sgn
-        kick = master2 > cfg.pll_bad_state_threshold
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_chan, 1), 0)
-        u = lcg_uniform(epoch * 37 + iota_c)
-        new_dop = jnp.where(kick, acq_dop + (u - 0.5) * 500.0, new_dop)
-        bad2 = jnp.where(kick, 0, bad2)
-        master2 = jnp.where(kick, 0, master2)
+                # ---- FLL (tracking.c:214-256) --------------------------------------
+                fdiff = wrap_half(perr - fll_theta)
+                odiff = wrap_half(fdiff - fll_err)
+                fll_delta = jnp.where(
+                    (fll_primed == 1) & ~edge,
+                    (cfg.fll_c1 * cfg.dt_s * odiff + cfg.fll_c2 * cfg.dt_s * fdiff)
+                    * f32(cfg.fll_scale),
+                    0.0,
+                )
 
-        # ---- SNR (tracking.c:147-169) ---------------------------------------
-        snr_i2 = snr_i + jnp.abs(ip)
-        snr_q2 = snr_q + jnp.abs(qp)
-        cnt2 = snr_cnt + 1
-        snr_done = cnt2 >= cfg.snr_window_epochs
-        inv_ln10 = float(10.0 / np.log(10.0))
-        snr_db2 = jnp.where(
-            snr_done,
-            inv_ln10 * jnp.log(jnp.maximum(snr_i2, 1e-9)
-                               / jnp.maximum(snr_q2, 1e-9)),
-            snr_db,
-        )
-        snr_i2 = jnp.where(snr_done, 0.0, snr_i2)
-        snr_q2 = jnp.where(snr_done, 0.0, snr_q2)
-        cnt2 = jnp.where(snr_done, 0, cnt2)
+                # ---- 20 ms coherent PLL (TrackConfig.coherent_pll) -----------------
+                phase_err_store = perr
+                if cfg.coherent_pll:
+                    rem_now = jnp.mod(epoch - last_swap, cib)
+                    bit_done = in_sync & (rem_now < old_rem)
+                    perr_bit = costas_err(bit_ip, bit_qp)
+                    dt_bit = cib * cfg.dt_s
+                    pll_delta_bit = (
+                        cfg.pll_bit_c1 * wrap_half(perr_bit - pll_prev)
+                        + cfg.pll_bit_c2 * dt_bit * perr_bit
+                    ) * f32(cfg.pll_bit_scale)
+                    pll_delta = jnp.where(
+                        in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
+                    )
+                    fll_delta = jnp.where(in_sync, 0.0, fll_delta)
+                    phase_err_store = jnp.where(
+                        in_sync, jnp.where(bit_done, perr_bit, pll_prev), perr
+                    )
 
-        # ---- bit sync (nav_data.c:46-138) -------------------------------------
-        flip = sgn != prev_sign
-        if cfg.coherent_bit_vote or cfg.coherent_pll:
-            flip = flip & ~in_sync
-        rem_at = jnp.mod(epoch - last_swap, cib)
-        on_grid = (rem_at <= 1) | (rem_at == cib - 1)
-        rpc2 = jnp.where(
-            flip & on_grid, jnp.minimum(rpc + 1, 10),
-            jnp.where(flip, jnp.maximum(rpc - 1, 0), rpc),
-        )
-        sync2 = jnp.where(
-            flip,
-            jnp.where(rpc2 > cfg.bit_sync_up, 1,
-                      jnp.where(rpc2 < cfg.bit_sync_down, 0, sync)),
-            sync,
-        )
-        ls2 = jnp.where(flip, epoch, last_swap)
-        rem2 = jnp.mod(epoch - ls2, cib)
-        boundary = (sync2 == 1) & (rem2 < old_rem)
-        votes = pos_cnt + neg_cnt
-        if cfg.coherent_bit_vote or cfg.coherent_pll:
-            bit_val = jnp.where(bit_ip > 0, 1, 0)
-        else:
-            bit_val = jnp.where(pos_cnt > neg_cnt, 1, 0)
-        bit_ready = boundary & (votes > 0)
-        bit_epoch = epoch - votes
-        p2 = jnp.where(boundary, 0, pos_cnt)
-        n2 = jnp.where(boundary, 0, neg_cnt)
-        p2 = jnp.where((sync2 == 1) & (ip > 0), p2 + 1, p2)
-        n2 = jnp.where((sync2 == 1) & (ip <= 0), n2 + 1, n2)
-        ip_sum2 = jnp.where(boundary, 0.0, bit_ip)
-        ip_sum2 = jnp.where(sync2 == 1, ip_sum2 + ip, ip_sum2)
-        qp_sum2 = jnp.where(boundary, 0.0, bit_qp)
-        qp_sum2 = jnp.where(sync2 == 1, qp_sum2 + qp, qp_sum2)
+                new_dop = dop + pll_delta + fll_delta
+                new_ph = ph + dop * (S / fs)
+                new_ph = new_ph - jnp.floor(new_ph)
 
-        # ---- state write-back (vector rows) -----------------------------------
-        f32_st[0] = new_cp
-        f32_st[1] = new_dop
-        f32_st[2] = new_ph
-        f32_st[3] = cerr
-        f32_st[4] = phase_err_store
-        f32_st[5] = perr
-        f32_st[6] = fdiff
-        f32_st[8] = snr_i2
-        f32_st[9] = snr_q2
-        f32_st[10] = snr_db2
-        f32_st[11] = ip_sum2
-        f32_st[12] = qp_sum2
-        i32_st[0] = jnp.ones_like(fll_primed)
-        i32_st[1] = sgn
-        i32_st[2] = ls2
-        i32_st[3] = rpc2
-        i32_st[4] = sync2
-        i32_st[5] = rem2
-        i32_st[6] = p2
-        i32_st[7] = n2
-        i32_st[8] = bad2
-        i32_st[9] = master2
-        i32_st[10] = cnt2
-        i32_st[11] = epoch + 1
-        i32_st[12] = wraps + wrapped_flag.astype(jnp.int32)
+                # ---- false-lock watchdog (tracking.c:261-327) -----------------------
+                sgn = jnp.where(ip > 0, 1, -1)
+                # transitions of the POST-shift window [old[1:], sgn] — the
+                # (old[1] != old[0]) pair leaves the window this epoch
+                trans = (sgn != win_st[win_len - 1]).astype(jnp.int32)
+                for i in range(2, win_len):
+                    trans = trans + (win_st[i] != win_st[i - 1]).astype(jnp.int32)
+                wend = jnp.mod(epoch, cfg.pll_check_window) == (
+                    cfg.pll_check_window - 1)
+                bad = trans > 1
+                bad2 = jnp.where(
+                    wend,
+                    jnp.where(bad, jnp.minimum(bad_cnt + 1, 10),
+                              jnp.maximum(bad_cnt - 1, 0)),
+                    bad_cnt,
+                )
+                master2 = jnp.where(
+                    wend & (bad2 > 9), master + 1,
+                    jnp.where(wend & (bad2 == 0), 0, master),
+                )
+                if cfg.coherent_pll:
+                    # the per-epoch sign-transition statistic is meaningless at
+                    # the C/N0 this mode targets — freeze the watchdog while
+                    # synced (track_epoch_step does the same)
+                    hold = in_sync
+                    for i in range(win_len - 1):
+                        win_st[i] = jnp.where(hold, win_st[i], win_st[i + 1])
+                    win_st[win_len - 1] = jnp.where(hold, win_st[win_len - 1], sgn)
+                    bad2 = jnp.where(hold, bad_cnt, bad2)
+                    master2 = jnp.where(hold, master, master2)
+                else:
+                    for i in range(win_len - 1):
+                        win_st[i] = win_st[i + 1]
+                    win_st[win_len - 1] = sgn
+                kick = master2 > cfg.pll_bad_state_threshold
+                iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_chan, 1), 0)
+                u = lcg_uniform(epoch * 37 + iota_c)
+                new_dop = jnp.where(kick, acq_dop + (u - 0.5) * 500.0, new_dop)
+                bad2 = jnp.where(kick, 0, bad2)
+                master2 = jnp.where(kick, 0, master2)
 
-        fz = jnp.zeros_like(ip)
-        out_ref[0] = jnp.concatenate([
-            ip, qp, cp, new_dop,
-            bit_ready.astype(f32), bit_val.astype(f32),
-            bit_epoch.astype(f32), sync2.astype(f32),
-            snr_db2, wrapped_flag.astype(f32),
-            ie, qe, il, ql, phase_err_store, fz,
-        ], axis=1)
+                # ---- SNR (tracking.c:147-169) ---------------------------------------
+                snr_i2 = snr_i + jnp.abs(ip)
+                snr_q2 = snr_q + jnp.abs(qp)
+                cnt2 = snr_cnt + 1
+                snr_done = cnt2 >= cfg.snr_window_epochs
+                inv_ln10 = float(10.0 / np.log(10.0))
+                snr_db2 = jnp.where(
+                    snr_done,
+                    inv_ln10 * jnp.log(jnp.maximum(snr_i2, 1e-9)
+                                       / jnp.maximum(snr_q2, 1e-9)),
+                    snr_db,
+                )
+                snr_i2 = jnp.where(snr_done, 0.0, snr_i2)
+                snr_q2 = jnp.where(snr_done, 0.0, snr_q2)
+                cnt2 = jnp.where(snr_done, 0, cnt2)
 
-        @pl.when(t == t_cnt - 1)
+                # ---- bit sync (nav_data.c:46-138) -------------------------------------
+                flip = sgn != prev_sign
+                if cfg.coherent_bit_vote or cfg.coherent_pll:
+                    flip = flip & ~in_sync
+                rem_at = jnp.mod(epoch - last_swap, cib)
+                on_grid = (rem_at <= 1) | (rem_at == cib - 1)
+                rpc2 = jnp.where(
+                    flip & on_grid, jnp.minimum(rpc + 1, 10),
+                    jnp.where(flip, jnp.maximum(rpc - 1, 0), rpc),
+                )
+                sync2 = jnp.where(
+                    flip,
+                    jnp.where(rpc2 > cfg.bit_sync_up, 1,
+                              jnp.where(rpc2 < cfg.bit_sync_down, 0, sync)),
+                    sync,
+                )
+                ls2 = jnp.where(flip, epoch, last_swap)
+                rem2 = jnp.mod(epoch - ls2, cib)
+                boundary = (sync2 == 1) & (rem2 < old_rem)
+                votes = pos_cnt + neg_cnt
+                if cfg.coherent_bit_vote or cfg.coherent_pll:
+                    bit_val = jnp.where(bit_ip > 0, 1, 0)
+                else:
+                    bit_val = jnp.where(pos_cnt > neg_cnt, 1, 0)
+                bit_ready = boundary & (votes > 0)
+                bit_epoch = epoch - votes
+                p2 = jnp.where(boundary, 0, pos_cnt)
+                n2 = jnp.where(boundary, 0, neg_cnt)
+                p2 = jnp.where((sync2 == 1) & (ip > 0), p2 + 1, p2)
+                n2 = jnp.where((sync2 == 1) & (ip <= 0), n2 + 1, n2)
+                ip_sum2 = jnp.where(boundary, 0.0, bit_ip)
+                ip_sum2 = jnp.where(sync2 == 1, ip_sum2 + ip, ip_sum2)
+                qp_sum2 = jnp.where(boundary, 0.0, bit_qp)
+                qp_sum2 = jnp.where(sync2 == 1, qp_sum2 + qp, qp_sum2)
+
+                # ---- state write-back (vector rows) -----------------------------------
+                f32_st[0] = new_cp
+                f32_st[1] = new_dop
+                f32_st[2] = new_ph
+                f32_st[3] = cerr
+                f32_st[4] = phase_err_store
+                f32_st[5] = perr
+                f32_st[6] = fdiff
+                f32_st[8] = snr_i2
+                f32_st[9] = snr_q2
+                f32_st[10] = snr_db2
+                f32_st[11] = ip_sum2
+                f32_st[12] = qp_sum2
+                i32_st[0] = jnp.ones_like(fll_primed)
+                i32_st[1] = sgn
+                i32_st[2] = ls2
+                i32_st[3] = rpc2
+                i32_st[4] = sync2
+                i32_st[5] = rem2
+                i32_st[6] = p2
+                i32_st[7] = n2
+                i32_st[8] = bad2
+                i32_st[9] = master2
+                i32_st[10] = cnt2
+                i32_st[11] = epoch + 1
+                i32_st[12] = wraps + wrapped_flag.astype(jnp.int32)
+
+                fz = jnp.zeros_like(ip)
+                out_ref[ei] = jnp.concatenate([
+                    ip, qp, cp, new_dop,
+                    bit_ready.astype(f32), bit_val.astype(f32),
+                    bit_epoch.astype(f32), sync2.astype(f32),
+                    snr_db2, wrapped_flag.astype(f32),
+                    ie, qe, il, ql, phase_err_store, fz,
+                ], axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, EPB, epoch_body, 0)
+
+        @pl.when(g == -(-t_cnt // EPB) - 1)
         def _store_state():
             for i in range(NF32):
                 f32_out[i] = f32_st[i]
@@ -398,18 +471,25 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 i32_out[i] = i32_st[i]
             for i in range(win_len):
                 win_out[i] = win_st[i]
+            ramp_out[0] = ramp_st[0]
+            ramp_out[1] = ramp_st[1]
+            dref_out[0] = dref[0]
 
     return kernel
 
 
 class PallasScanState(NamedTuple):
     """Packed kernel state: f32 (NF32, C, 1), i32 (NI32, C, 1) planes
-    (row order = _F32_FIELDS / _I32_FIELDS) and the watchdog sign
-    window (W, C, 1)."""
+    (row order = _F32_FIELDS / _I32_FIELDS), the watchdog sign window
+    (W, C, 1), and the carrier-ramp cache (ramp (2, C, SP) cos/sin of
+    the per-channel Doppler ramp, dref (1, C, 1) the Doppler each ramp
+    row was built at — carried so resume is bit-exact)."""
 
     f32: jnp.ndarray
     i32: jnp.ndarray
     win: jnp.ndarray
+    ramp: jnp.ndarray
+    dref: jnp.ndarray
 
 
 def state_from_track_state(ts: TrackState) -> PallasScanState:
@@ -438,7 +518,13 @@ def state_from_track_state(ts: TrackState) -> PallasScanState:
         ts.code_wraps.astype(jnp.int32),
     ])[..., None]
     win = ts.ip_sign_window.astype(jnp.int32).T[..., None]
-    return PallasScanState(f32=f32, i32=i32, win=win)
+    c = f32.shape[1]
+    # dref far from any physical Doppler forces a ramp build on epoch 0
+    return PallasScanState(
+        f32=f32, i32=i32, win=win,
+        ramp=jnp.zeros((2, c, SP), jnp.float32),
+        dref=(ts.doppler_hz.astype(jnp.float32) - 1e9)[None, :, None],
+    )
 
 
 def state_to_track_state(ps: PallasScanState) -> TrackState:
@@ -500,19 +586,20 @@ def pallas_track_scan(
 
     t_cnt, s_cnt = epochs.shape
     assert s_cnt == S, "pallas scan requires the 2.046 MHz baseband plan"
+    t_pad = -(-t_cnt // EPB) * EPB
     c = u2.shape[0]
     assert c % 8 == 0, "channel count must be a multiple of 8"
     win_len = state.win.shape[0]
     assert win_len == cfg.pll_check_window
 
-    x = jnp.zeros((t_cnt, 2, SP), jnp.float32)
-    x = x.at[:, 0, :S].set(epochs.real)
-    x = x.at[:, 1, :S].set(epochs.imag)
+    x = jnp.zeros((t_pad, 2, SP), jnp.float32)
+    x = x.at[:t_cnt, 0, :S].set(epochs.real)
+    x = x.at[:t_cnt, 1, :S].set(epochs.imag)
 
     kern = _kernel(cfg, plan, c, t_cnt, win_len)
-    out, f32_out, i32_out, win_out = pl.pallas_call(
+    out, f32_out, i32_out, win_out, ramp_out, dref_out = pl.pallas_call(
         kern,
-        grid=(t_cnt,),
+        grid=(t_pad // EPB,),
         in_specs=[
             pl.BlockSpec((NF32, c, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -520,13 +607,17 @@ def pallas_track_scan(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((win_len, c, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, SP), lambda t: (t, 0, 0),
+            pl.BlockSpec((EPB, 2, SP), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, U2P), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c, SP), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, c, NOUT), lambda t: (t, 0, 0),
+            pl.BlockSpec((EPB, c, NOUT), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NF32, c, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -534,12 +625,18 @@ def pallas_track_scan(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((win_len, c, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c, SP), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 1), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_cnt, c, NOUT), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, c, NOUT), jnp.float32),
             jax.ShapeDtypeStruct((NF32, c, 1), jnp.float32),
             jax.ShapeDtypeStruct((NI32, c, 1), jnp.int32),
             jax.ShapeDtypeStruct((win_len, c, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2, c, SP), jnp.float32),
+            jax.ShapeDtypeStruct((1, c, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((NF32, c, 1), jnp.float32),
@@ -547,10 +644,14 @@ def pallas_track_scan(
             pltpu.VMEM((win_len, c, 1), jnp.int32),
             pltpu.VMEM((3, c, SP), jnp.float32),
             pltpu.SMEM((c,), jnp.int32),
+            pltpu.VMEM((1, c, 1), jnp.int32),      # m_plane (vector mirror)
+            pltpu.VMEM((2, c, SP), jnp.float32),   # carrier ramp cache
+            pltpu.VMEM((1, c, 1), jnp.float32),    # cached ramp doppler
         ],
         interpret=interpret,
-    )(state.f32, state.i32, state.win, x, u2)
-    return PallasScanState(f32=f32_out, i32=i32_out, win=win_out), out
+    )(state.f32, state.i32, state.win, x, u2, state.ramp, state.dref)
+    return PallasScanState(f32=f32_out, i32=i32_out, win=win_out,
+                           ramp=ramp_out, dref=dref_out), out[:t_cnt]
 
 
 def track_block_pallas(

@@ -172,8 +172,14 @@ def test_in_kernel_coherent_pll_mode():
     _assert_states_match(st_ref, st_k)
 
 
-def test_in_kernel_scan_is_resumable():
-    """Two 40-epoch kernel calls == one 80-epoch call (state handoff)."""
+@pytest.mark.parametrize("split", [40, 44])
+def test_in_kernel_scan_is_resumable(split):
+    """Two split kernel calls == one 80-epoch call (state handoff).
+
+    split=44 exercises the EPB-padding path: neither 44 nor 36 is a
+    multiple of the kernel's epochs-per-grid-step, so the trailing pad
+    epochs must not advance state (and the carried ramp/dref cache must
+    hand off exactly)."""
     E = 80
     x, sats = _scenario(E, seed=5)
     epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
@@ -192,10 +198,11 @@ def test_in_kernel_scan_is_resumable():
     k_full, out_full = pallas_track_scan(
         k0, epochs, u2, plan=PLAN, cfg=cfg, interpret=True)
     k_a, out_a = pallas_track_scan(
-        k0, epochs[:40], u2, plan=PLAN, cfg=cfg, interpret=True)
+        k0, epochs[:split], u2, plan=PLAN, cfg=cfg, interpret=True)
     k_b, out_b = pallas_track_scan(
-        k_a, epochs[40:], u2, plan=PLAN, cfg=cfg, interpret=True)
+        k_a, epochs[split:], u2, plan=PLAN, cfg=cfg, interpret=True)
 
+    assert out_a.shape[0] == split and out_b.shape[0] == E - split
     np.testing.assert_allclose(
         np.asarray(out_full),
         np.concatenate([np.asarray(out_a), np.asarray(out_b)]),
