@@ -255,22 +255,29 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 corr = 1.0 - 0.5 * xk * xk
                 cosd = rc * corr - xk * rs
                 sind = rs * corr + xk * rc
-                pc = jnp.cos(two_pi * ph)                     # (C,1): 32 els, cheap
-                ps = jnp.sin(two_pi * ph)
-                cosv = pc * cosd - ps * sind
-                sinv = ps * cosd + pc * sind
                 xr = x_ref[ei, 0:1, :]
                 xi = x_ref[ei, 1:2, :]
-                yr = xr * cosv + xi * sinv
-                yi = xi * cosv - xr * sinv
+                # wipe with the ramp only — the scalar carrier phase is
+                # applied AFTER the correlation sums (linearity): 12
+                # (C,1) mults replace four full (C,SP) VPU passes
+                yr = xr * cosd + xi * sind
+                yi = xi * cosd - xr * sind
 
                 # ---- E/P/L correlations (lane reductions) ------------------------
-                ie = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
-                qe = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
-                ip = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
-                qp = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
-                il = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
-                ql = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
+                ie_r = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
+                qe_r = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
+                ip_r = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
+                qp_r = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
+                il_r = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
+                ql_r = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
+                pc = jnp.cos(two_pi * ph)                     # (C,1): 32 els, cheap
+                ps = jnp.sin(two_pi * ph)
+                ie = ie_r * pc + qe_r * ps
+                qe = qe_r * pc - ie_r * ps
+                ip = ip_r * pc + qp_r * ps
+                qp = qp_r * pc - ip_r * ps
+                il = il_r * pc + ql_r * ps
+                ql = ql_r * pc - il_r * ps
 
                 # ---- nav-bit edge-zone freeze (track_epoch_step) ------------------
                 rem_pred = jnp.mod(epoch - last_swap, cib)
