@@ -334,23 +334,32 @@ def child_acq(result_file, honest_wall):
 
     from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN
     from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power
-    from stm32f4_sdr_gps_tpu.ops.correlate import code_fft_conj
-    from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
+    from stm32f4_sdr_gps_tpu.ops.correlate import dft_tables_device
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
+    # "matmul" evaluates the cube with MXU matmul-DFTs (profileable HLO;
+    # the FFT program hits the tunnel's profiler quirk), "fft" is the
+    # XLA-FFT path
+    method = os.environ.get("BENCH_ACQ_METHOD", "matmul")
     plan = BASEBAND_PLAN
     acq = AcqConfig()
     prns = list(range(1, 33))
     # cfc/rot must be jit *arguments*, not closure constants: a captured
     # device array is constant-folded at lowering, which needs a
-    # device->host copy (UNIMPLEMENTED on the axon tunnel).
-    with jax.default_device(jax.devices("cpu")[0]):
-        cfc = np.asarray(code_fft_conj(prns, plan))
-        bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
-        rot = np.asarray(doppler_rotations(
-            jnp.asarray(bins_host),
-            plan.samples_per_epoch, plan.sample_rate_hz))
+    # device->host copy (UNIMPLEMENTED on the axon tunnel).  Built in
+    # pure numpy — touching the CPU jax backend in this process is a
+    # suspected trigger of the profiler UNIMPLEMENTED (the tracking
+    # children never touch it and their traces succeed).
+    from stm32f4_sdr_gps_tpu.ops.correlate import sampled_code_table
+
+    cfc = np.conj(np.fft.fft(sampled_code_table(prns, plan),
+                             axis=-1)).astype(np.complex64)
+    bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
+    t_s = (np.arange(plan.samples_per_epoch, dtype=np.float64)
+           / plan.sample_rate_hz)
+    rot = np.exp(-2j * np.pi * bins_host[:, None].astype(np.float64)
+                 * t_s[None, :]).astype(np.complex64)
 
     @jax.jit
     def _make(key):
@@ -362,27 +371,38 @@ def child_acq(result_file, honest_wall):
     acq_epochs = _make(jax.random.PRNGKey(1))
     cfc_d = jax.device_put(cfc)
     rot_d = jax.device_put(rot)
-    power_fn = jax.jit(acquisition_power)
+    if method == "matmul":
+        # tables are generated ON device: a host-built (S, S) f32 table
+        # is 16.7 MB and this transport rejects host->device transfers
+        # that large (UNIMPLEMENTED — found by tools/tpu_acq_trace_probe)
+        dft_d = dft_tables_device(plan.samples_per_epoch)
+        power_fn = jax.jit(lambda e, c, r, w0, w1: acquisition_power(
+            e, c, r, dft=(w0, w1)))
+        args = (acq_epochs, cfc_d, rot_d) + dft_d
+    else:
+        power_fn = jax.jit(acquisition_power)
+        args = (acq_epochs, cfc_d, rot_d)
     t0 = time.perf_counter()
-    power_fn = power_fn.lower(acq_epochs, cfc_d, rot_d).compile()
-    log(f"acquisition: compiled in {time.perf_counter()-t0:.1f}s")
-    # warm-up dispatch with NO sync: block_until_ready on this output
-    # intermittently hangs minutes on the tunnel (observed r2) and
-    # poisons the subsequent profiler session
-    power_fn(acq_epochs, cfc_d, rot_d)
-    time.sleep(5.0)
-    log("warm-up dispatched")
+    power_fn = power_fn.lower(*args).compile()
+    log(f"acquisition[{method}]: compiled in {time.perf_counter()-t0:.1f}s")
+    # warm up and SYNC before the trace window — starting the profiler
+    # with work still outstanding is the one sequencing difference vs
+    # the tracking children, whose traces succeed (the BUR occasionally
+    # hangs; the self-alarm bounds it)
+    p = power_fn(*args)
+    jax.block_until_ready(p)
+    log("warm-up synced")
     acq_s = None
     if honest_wall:
         t0 = time.perf_counter()
         for _ in range(5):
-            p = power_fn(acq_epochs, cfc_d, rot_d)
+            p = power_fn(*args)
         jax.block_until_ready(p)
         acq_s = (time.perf_counter() - t0) / 5
     else:
         def chain():
             for _ in range(4):
-                power_fn(acq_epochs, cfc_d, rot_d)
+                power_fn(*args)
 
         events = _trace_device_events(chain)
         if events:
@@ -398,7 +418,7 @@ def child_acq(result_file, honest_wall):
             f"serial => ~58 s/PRN)"
         )
         with open(result_file, "w") as f:
-            json.dump({"acq_s": acq_s}, f)
+            json.dump({"acq_s": acq_s, "method": method}, f)
 
 
 # ------------------------------------------------------------------- parent
@@ -489,9 +509,10 @@ def parent_main():
     #    opportunistic success; the honest CPU number is on record in
     #    SCALING.md.
     af = os.path.join(tmp, "acq.json")
-    for _ in range(2):
+    for acq_method in ("matmul", "fft"):
         _run_child({"BENCH_CHILD": "acq",
                     "BENCH_RESULT_FILE": af,
+                    "BENCH_ACQ_METHOD": acq_method,
                     "BENCH_HONEST_WALL": "1" if honest_wall else "0"},
                    parent_timeout)
         if _read_json(af):

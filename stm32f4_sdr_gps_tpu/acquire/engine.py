@@ -27,8 +27,10 @@ import numpy as np
 from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN, FREQ_L1_HZ
 from ..ops.correlate import (
     code_fft_conj,
+    dft_tables_device,
     fft_circular_correlate,
     lag_to_code_phase,
+    matmul_circular_correlate,
     noncoherent_power,
 )
 from ..ops.wipeoff import doppler_rotations
@@ -53,6 +55,7 @@ def acquisition_power(
     cfc: jnp.ndarray,           # (P, S) conj code FFTs
     rot: jnp.ndarray,           # (D, S) Doppler rotations
     coherent: int = 1,
+    dft: tuple | None = None,   # (wc, ws) from ops.correlate.dft_tables
 ) -> jnp.ndarray:
     """Non-coherently accumulated correlation power, shape (P, D, S).
 
@@ -80,7 +83,10 @@ def acquisition_power(
 
     def body(acc, block):
         xd = block[:, None, :] * rot[None, :, :]          # (co, D, S)
-        corr = fft_circular_correlate(xd, cfc)             # (co, D, P, S)
+        if dft is not None:                               # MXU matmul-DFT
+            corr = matmul_circular_correlate(xd, cfc, *dft)
+        else:
+            corr = fft_circular_correlate(xd, cfc)         # (co, D, P, S)
         csum = (corr * phasor[:, :, None, None]).sum(axis=0)
         return acc + noncoherent_power(csum).transpose(1, 0, 2), None
 
@@ -185,9 +191,13 @@ def acquire(
     bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
     rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
     co = cfg.coherent_epochs
+    dft = None
+    if cfg.use_matmul_dft:
+        dft = dft_tables_device(s)
     n_hyp = max(1, int(cfg.edge_hypotheses))
     if n_hyp == 1:
-        power = np.asarray(acquisition_power(epochs, cfc, rot, coherent=co))
+        power = np.asarray(
+            acquisition_power(epochs, cfc, rot, coherent=co, dft=dft))
     else:
         # bit-edge hypotheses: shift the coherent block grid and
         # max-combine per-block-normalized powers, so one hypothesis has
@@ -201,7 +211,7 @@ def acquire(
             if n_blocks < 1:
                 continue
             pw = np.asarray(acquisition_power(
-                epochs[o: o + n_blocks * co], cfc, rot, coherent=co
+                epochs[o: o + n_blocks * co], cfc, rot, coherent=co, dft=dft
             )) / float(n_blocks)
             power = pw if power is None else np.maximum(power, pw)
     power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)

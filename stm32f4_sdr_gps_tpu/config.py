@@ -117,6 +117,11 @@ class AcqConfig:
     freq_hist_min_votes: int = 3      # acquisition.c:382
     freq_hist_ratio: float = 1.7      # acquisition.c:402
     timeout_ms: int = 120_000         # acquisition.c:13
+    # Evaluate the acquisition cube with matmul DFTs on the MXU instead
+    # of FFT HLOs (S=2046 is not a power of two, so XLA's FFT lowering
+    # Bluesteins it; a dense (S, S) contraction is MXU-native).  Same
+    # outputs to ~1e-5 relative (ops.correlate.matmul_circular_correlate).
+    use_matmul_dft: bool = False
 
     @property
     def doppler_bins_hz(self) -> tuple:

@@ -14,6 +14,8 @@ loop (``gps_mult_and_summ``, gps_misc.c:48-93) and serial lag scan
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,75 @@ def fft_circular_correlate(
     """
     X = jnp.fft.fft(x, axis=-1)
     return jnp.fft.ifft(X[..., None, :] * cfc, axis=-1)
+
+
+def dft_tables(n: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) of the length-n DFT twiddle matrix, as host arrays.
+
+    ``W[j, k] = exp(-2i*pi*j*k/n) = cos - i*sin``.  W is symmetric and
+    ``conj(W) = n * W^-1``, so ONE table pair serves both directions:
+    forward ``X = x @ (cos - i*sin)``, inverse ``x = X @ (cos + i*sin)/n``.
+    The phase index ``j*k`` is reduced mod n in exact integer arithmetic
+    before the float conversion (j*k reaches ~4.2e6 at n=2046; naive
+    float32 angles would lose ~2 digits).
+    """
+    j = np.arange(n, dtype=np.int64)
+    m = np.outer(j, j) % n
+    ang = (2.0 * np.pi / n) * m.astype(np.float64)
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def dft_tables_device(n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``dft_tables`` computed ON the accelerator (cos/sin of an integer
+    outer product mod n — exact in int32 up to n=46341).
+
+    Host-built (S, S) tables are ~16.7 MB each; some transports reject
+    host->device transfers that large (the axon tunnel raises
+    UNIMPLEMENTED above ~1 MB), and generating them on device is cheaper
+    than shipping them anyway."""
+    j = jnp.arange(n, dtype=jnp.int32)
+    m = (j[:, None] * j[None, :]) % n
+    ang = jnp.float32(2.0 * np.pi / n) * m.astype(jnp.float32)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def matmul_circular_correlate(
+    x: jnp.ndarray,             # (..., S) complex epochs
+    cfc: jnp.ndarray,           # (P, S) conj code FFTs
+    wc: jnp.ndarray,            # (S, S) DFT cos table (dft_tables)
+    ws: jnp.ndarray,            # (S, S) DFT sin table
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """``fft_circular_correlate`` with matmul DFTs instead of FFT HLOs.
+
+    Same contract and lag convention as ``fft_circular_correlate``; the
+    transform runs as (B, S) @ (S, S) real matmuls on the MXU.  This is
+    the TPU-first formulation of the acquisition transform: S = 2046 is
+    not a power of two (2*3*11*31), so the FFT lowering Bluesteins it,
+    while the MXU eats a dense S^2 contraction at full rate (the FLOPs
+    are the MXU's job per the acquisition redesign of
+    acquisition.c:226-319's serial lag scan).  ``precision=HIGHEST``
+    keeps f32-equivalent accuracy (~1e-5 relative vs the FFT path);
+    DEFAULT trades ~1e-2 accuracy for ~3x more MXU throughput — fine
+    for peak detection, not for sub-sample interpolation.
+    """
+    dot = functools.partial(jnp.matmul, precision=precision)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    # forward: X = x @ (wc - i*ws)
+    x_re = dot(xr, wc) + dot(xi, ws)
+    x_im = dot(xi, wc) - dot(xr, ws)
+    # spectrum product with conj code FFTs, new PRN axis
+    cr = jnp.real(cfc).astype(jnp.float32)
+    ci = jnp.imag(cfc).astype(jnp.float32)
+    z_re = x_re[..., None, :] * cr - x_im[..., None, :] * ci
+    z_im = x_re[..., None, :] * ci + x_im[..., None, :] * cr
+    # inverse: corr = Z @ (wc + i*ws) / S
+    inv = np.float32(1.0 / x.shape[-1])
+    c_re = (dot(z_re, wc) - dot(z_im, ws)) * inv
+    c_im = (dot(z_re, ws) + dot(z_im, wc)) * inv
+    return jax.lax.complex(c_re, c_im)
 
 
 def epl_correlate(

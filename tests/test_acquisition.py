@@ -100,3 +100,43 @@ def test_refine_doppler_sub_hz():
     fine = refine_doppler(x, 19, r.code_phase_chips, r.doppler_hz)
     assert abs(fine + 2711.0) < 5.0
     assert abs(fine + 2711.0) <= abs(r.doppler_hz + 2711.0) + 1e-6
+
+
+def test_matmul_dft_matches_fft_cube():
+    """ops.correlate.matmul_circular_correlate == the FFT path.
+
+    The matmul-DFT formulation targets the MXU (S=2046 has no power-of-
+    two FFT); the acquisition cube it produces must match the FFT cube
+    to float32 round-off so every detector/threshold downstream is
+    path-independent."""
+    import jax.numpy as jnp
+    from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power
+    from stm32f4_sdr_gps_tpu.ops.correlate import code_fft_conj, dft_tables
+    from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
+
+    sat = SimSat(prn=9, doppler_hz=-1750.0, code_phase_chips=400.25,
+                 cn0_dbhz=45.0)
+    x, _ = simulate_capture([sat], num_epochs=4, seed=11)
+    s = BASEBAND_PLAN.samples_per_epoch
+    epochs = jnp.asarray(x[: 4 * s].reshape(4, s), dtype=jnp.complex64)
+    cfc = code_fft_conj([9, 17], BASEBAND_PLAN)
+    rot = doppler_rotations(jnp.asarray([-2000.0, -1500.0, 0.0]), s,
+                            BASEBAND_PLAN.sample_rate_hz)
+    wc, ws = dft_tables(s)
+    p_fft = np.asarray(acquisition_power(epochs, cfc, rot))
+    p_mm = np.asarray(acquisition_power(
+        epochs, cfc, rot, dft=(jnp.asarray(wc), jnp.asarray(ws))))
+    scale = float(p_fft.max())
+    np.testing.assert_allclose(p_mm / scale, p_fft / scale, atol=5e-4)
+
+
+def test_acquire_with_matmul_dft():
+    """acquire() end-to-end on the MXU matmul-DFT path."""
+    sat = SimSat(prn=21, doppler_hz=2400.0, code_phase_chips=77.7,
+                 cn0_dbhz=45.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=12)
+    cfg = AcqConfig(doppler_span_hz=5000.0, use_matmul_dft=True)
+    res = acquire(x, [21], BASEBAND_PLAN, cfg)[0]
+    assert res.detected
+    assert abs(res.doppler_hz - 2400.0) < 250.0
+    assert abs(_phase_err(res.code_phase_chips, 77.7)) < 0.5
