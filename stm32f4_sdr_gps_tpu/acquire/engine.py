@@ -101,64 +101,93 @@ def _parabolic_offset(ym1, y0, yp1):
     return np.where(np.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
 
 
+def _parabolic_offset_jnp(ym1, y0, yp1):
+    denom = ym1 - 2.0 * y0 + yp1
+    return jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("excl",))
+def analyze_power_device(
+    power: jnp.ndarray,         # (P, D, S) non-coherent power cube
+    doppler_bins_hz: jnp.ndarray,   # (D,)
+    excl: int,                  # exclusion half-width, lag samples
+):
+    """Peak detection + sub-bin interpolation ON the device.
+
+    The (P, D, S) cube never leaves the accelerator; only (P,)-vectors
+    (peak, fractional lag, interpolated Doppler, second peak outside the
+    exclusion zone, cube mean) come back — ~200 bytes instead of 7.6 MB,
+    which is what a device-resident receiver (and a transport that
+    rejects large device->host reads) needs, and what the mesh-sharded
+    acquisition reduces over devices without a host gather.  Numerics
+    mirror host ``analyze_power`` (same argmax tie-break, parabolic
+    interpolation, wraparound exclusion distance).
+    """
+    p_cnt, d_cnt, s = power.shape
+    pidx = jnp.arange(p_cnt)
+    flat = jnp.argmax(power.reshape(p_cnt, d_cnt * s), axis=1)
+    di = flat // s
+    si = flat % s
+    rows = power[pidx, di]                             # (P, S) best bin
+    peak = rows[pidx, si]
+
+    # fractional code lag along the lag axis at the best Doppler row
+    frac = _parabolic_offset_jnp(
+        rows[pidx, (si - 1) % s], peak, rows[pidx, (si + 1) % s])
+    lag = si.astype(jnp.float32) + jnp.clip(frac, -0.5, 0.5)
+
+    # fractional Doppler across bins at the peak lag (interior bins only)
+    cols = jnp.take_along_axis(
+        power, si[:, None, None], axis=2)[..., 0]      # (P, D)
+    dm1 = cols[pidx, jnp.maximum(di - 1, 0)]
+    dp1 = cols[pidx, jnp.minimum(di + 1, d_cnt - 1)]
+    interior = (di > 0) & (di < d_cnt - 1)
+    dfrac = jnp.where(
+        interior, jnp.clip(_parabolic_offset_jnp(dm1, peak, dp1), -0.5, 0.5),
+        0.0)
+    step = (doppler_bins_hz[1] - doppler_bins_hz[0]) if d_cnt > 1 else 0.0
+    doppler = doppler_bins_hz[di] + dfrac * step
+
+    # second peak outside the (wraparound) exclusion zone -> detect ratio
+    lag_idx = jnp.arange(s)
+    dist = jnp.minimum((lag_idx[None, :] - si[:, None]) % s,
+                       (si[:, None] - lag_idx[None, :]) % s)
+    masked = jnp.where(dist[:, None, :] > excl, power, 0.0)
+    second = jnp.max(masked, axis=(1, 2))
+    mean = jnp.mean(power, axis=(1, 2))
+    return peak, lag, doppler, second, mean
+
+
 def analyze_power(
-    power: np.ndarray,          # (P, D, S)
+    power,                      # (P, D, S) device or host array
     prns,
     doppler_bins_hz: np.ndarray,
     plan: SignalPlan,
     cfg: AcqConfig,
 ) -> list:
-    """Peak detection + sub-bin interpolation (host-side, tiny data)."""
-    power = np.asarray(power)
-    p_cnt, d_cnt, s = power.shape
+    """Peak detection + sub-bin interpolation; cube math on device.
+
+    Thin host wrapper over ``analyze_power_device``: only the per-PRN
+    scalar vectors are transferred, then thresholded into AcqResults.
+    """
     excl = max(1, int(round(cfg.exclude_chips * plan.samples_per_chip)))
+    bins = jnp.asarray(np.asarray(doppler_bins_hz, dtype=np.float32))
+    peak, lag, doppler, second, mean = (
+        np.asarray(v) for v in analyze_power_device(
+            jnp.asarray(power), bins, excl))
+    code_phase = lag_to_code_phase(lag, plan) % 1023.0
     results = []
-    for pi in range(p_cnt):
-        cube = power[pi]
-        flat = int(np.argmax(cube))
-        di, si = divmod(flat, s)
-        peak = float(cube[di, si])
-
-        # Fractional code phase via parabolic interpolation along the lag
-        # axis at the best Doppler row.
-        row = cube[di]
-        frac = float(
-            _parabolic_offset(row[(si - 1) % s], row[si], row[(si + 1) % s])
-        )
-        lag = si + np.clip(frac, -0.5, 0.5)
-        code_phase = float(lag_to_code_phase(lag, plan) % 1023.0)
-
-        # Fractional Doppler via parabolic interpolation across bins.
-        if 0 < di < d_cnt - 1:
-            dfrac = float(
-                _parabolic_offset(cube[di - 1, si], peak, cube[di + 1, si])
-            )
-        else:
-            dfrac = 0.0
-        step = (
-            float(doppler_bins_hz[1] - doppler_bins_hz[0])
-            if d_cnt > 1
-            else 0.0
-        )
-        doppler = float(doppler_bins_hz[di]) + np.clip(dfrac, -0.5, 0.5) * step
-
-        # Second peak outside the exclusion zone around the main lag
-        # (any Doppler row) -> detection metric.
-        lag_idx = np.arange(s)
-        dist = np.minimum((lag_idx - si) % s, (si - lag_idx) % s)
-        masked = np.where(dist[None, :] > excl, cube, 0.0)
-        second = float(masked.max())
-        ratio = peak / max(second, 1e-20)
-        mean = float(cube.mean())
+    for pi in range(len(prns)):
+        ratio = float(peak[pi]) / max(float(second[pi]), 1e-20)
         results.append(
             AcqResult(
                 prn=int(prns[pi]),
                 detected=bool(ratio >= cfg.detect_ratio),
-                doppler_hz=doppler,
-                code_phase_chips=code_phase,
-                peak_power=peak,
+                doppler_hz=float(doppler[pi]),
+                code_phase_chips=float(code_phase[pi]),
+                peak_power=float(peak[pi]),
                 peak_ratio=ratio,
-                peak_to_mean=peak / max(mean, 1e-20),
+                peak_to_mean=float(peak[pi]) / max(float(mean[pi]), 1e-20),
             )
         )
     return results
@@ -195,9 +224,11 @@ def acquire(
     if cfg.use_matmul_dft:
         dft = dft_tables_device(s)
     n_hyp = max(1, int(cfg.edge_hypotheses))
+    # the (P, D, S) cube stays ON DEVICE end to end: hypothesis
+    # max-combining and hint masking are device ops, and analyze_power
+    # reads back only per-PRN scalars (analyze_power_device)
     if n_hyp == 1:
-        power = np.asarray(
-            acquisition_power(epochs, cfc, rot, coherent=co, dft=dft))
+        power = acquisition_power(epochs, cfc, rot, coherent=co, dft=dft)
     else:
         # bit-edge hypotheses: shift the coherent block grid and
         # max-combine per-block-normalized powers, so one hypothesis has
@@ -210,10 +241,10 @@ def acquire(
             n_blocks = (e - o) // co
             if n_blocks < 1:
                 continue
-            pw = np.asarray(acquisition_power(
+            pw = acquisition_power(
                 epochs[o: o + n_blocks * co], cfc, rot, coherent=co, dft=dft
-            )) / float(n_blocks)
-            power = pw if power is None else np.maximum(power, pw)
+            ) / float(n_blocks)
+            power = pw if power is None else jnp.maximum(power, pw)
     power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)
     return analyze_power(power, prns, bins, plan, cfg)
 
@@ -227,14 +258,16 @@ def apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg):
     """
     if not doppler_hints_hz:
         return power
-    power = power.copy()
+    # (P, D) keep-mask is built host-side (tiny) and applied as one
+    # device multiply, so a device-resident cube stays on device
+    keep = np.ones((len(prns), len(bins)), dtype=np.float32)
     for pi, prn in enumerate(prns):
         hint = doppler_hints_hz.get(int(prn))
-        if hint is None:
-            continue
-        keep = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
-        power[pi, ~keep, :] = 0.0
-    return power
+        if hint is not None:
+            keep[pi] = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
+    if isinstance(power, np.ndarray):
+        return power * keep[:, :, None]
+    return power * jnp.asarray(keep)[:, :, None]
 
 
 def refine_doppler(

@@ -73,7 +73,9 @@ def acquire_sharded(
     with jax.sharding.set_mesh(mesh):
         power = sharded_acquisition_power(epochs, cfc, rot, mesh)
         power.block_until_ready()
-    power = np.asarray(power)[: len(prns)]
+    # the sharded cube stays on the mesh: PRN-pad slice, hint mask and
+    # peak analysis are device ops; only (P,) scalars reach the host
+    power = power[: len(prns)]
     power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)
     return analyze_power(power, prns, bins, plan, cfg)
 
