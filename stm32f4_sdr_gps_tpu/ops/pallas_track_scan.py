@@ -655,6 +655,13 @@ def pallas_track_scan(
             pltpu.VMEM((2, c, SP), jnp.float32),   # carrier ramp cache
             pltpu.VMEM((1, c, 1), jnp.float32),    # cached ramp doppler
         ],
+        # per-channel VMEM residency (replica + ramp caches + u2 block,
+        # ~90 KB/channel) exceeds Mosaic's default 16 MB scoped limit
+        # above ~100 channels; v5e has 128 MB VMEM — raise the cap so
+        # channel capacity is hardware-limited (~1000 ch), not
+        # default-limited
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(state.f32, state.i32, state.win, x, u2, state.ramp, state.dref)
     return PallasScanState(f32=f32_out, i32=i32_out, win=win_out,

@@ -222,3 +222,45 @@ def test_state_pack_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(getattr(st0, f)), np.asarray(getattr(st1, f)),
             err_msg=f)
+
+
+def test_in_kernel_scan_wide_channel_batch():
+    """Kernel == reference at 128 channels (capacity configuration).
+
+    Channel capacity on one chip is a headline capability (docs/
+    SCALING.md: 7000+ channel-ms/ms aggregate at 128-256 channels); the
+    wide batch exercises the multi-sublane-tile layouts of every (C, 1)
+    state plane and the per-channel replica/ramp caches.  Channels
+    beyond the 8 simulated satellites track noise — parity must hold
+    regardless."""
+    E = 10
+    C = 128
+    x, sats = _scenario(E, seed=13)
+    epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
+    prns = [(i % 32) + 1 for i in range(C)]
+    table = ca_table_bipolar(prns)
+    u2 = jnp.asarray(upsampled_code_doubled(table))
+    rng = np.random.default_rng(13)
+    cfg = TrackConfig(codes_in_bit=CIB)
+    st0 = init_state(
+        C,
+        rng.uniform(0, 1023, C),
+        rng.uniform(-4000, 4000, C),
+        window=cfg.pll_check_window,
+    )
+    st_ref, out_ref = track_block(st0, epochs, jnp.asarray(table), PLAN, cfg)
+    # reference path uses full-resolution replicas; the kernel shares
+    # pallas_epl's half-chip-shift equivalence, so compare the kernel to
+    # the pallas-epl production config instead
+    cfg_epl = dataclasses.replace(cfg, use_pallas=True,
+                                  pallas_interpret=True)
+    st_epl, out_epl = track_block(st0, epochs, u2, PLAN, cfg_epl)
+    st_k, out_k = track_block_pallas(st0, epochs, u2, PLAN, cfg,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out_k.ip),
+                               np.asarray(out_epl.ip), rtol=2e-4, atol=2.0)
+    np.testing.assert_allclose(np.asarray(out_k.code_phase_chips),
+                               np.asarray(out_epl.code_phase_chips),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_k.doppler_hz),
+                               np.asarray(out_epl.doppler_hz), atol=0.5)

@@ -1,7 +1,7 @@
 """Measure the in-kernel tracking scan at a given EPB (epochs per grid
 step) on the TPU: compile, trace, print device-time real-time multiple.
 
-Usage: python tools/epb_probe.py [EPB] [block_epochs]
+Usage: python tools/epb_probe.py [EPB] [block_epochs] [n_chan]
 Self-alarmed (never kill externally — tunnel rules in CLAUDE.md).
 """
 import glob
@@ -45,15 +45,17 @@ def log(m):
 
 epb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 block_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+n_chan = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 pts.EPB = epb
-log(f"EPB={epb} block_epochs={block_epochs}")
+log(f"EPB={epb} block_epochs={block_epochs} n_chan={n_chan}")
 
 plan = BASEBAND_PLAN
 cfg = TrackConfig()
-prns = [(i % 32) + 1 for i in range(32)]
+prns = [(i % 32) + 1 for i in range(n_chan)]
 table_np = ca_table_bipolar(prns)
 rng = np.random.default_rng(0)
-state0 = init_state(32, rng.uniform(0, 1023, 32), rng.uniform(-5e3, 5e3, 32))
+state0 = init_state(n_chan, rng.uniform(0, 1023, n_chan),
+                    rng.uniform(-5e3, 5e3, n_chan))
 u2 = jnp.asarray(upsampled_code_doubled(table_np))
 
 
@@ -107,4 +109,5 @@ if not agg:
 name, (cnt, tot) = max(agg.items(), key=lambda kv: kv[1][1])
 rt = cnt * block_epochs * 1e-3 / tot
 log(f"{name}: {cnt} execs, {tot*1e3:.2f} ms device "
-    f"=> {tot/cnt/block_epochs*1e6:.2f} us/epoch => {rt:.1f}x real-time")
+    f"=> {tot/cnt/block_epochs*1e6:.2f} us/epoch => {rt:.1f}x real-time "
+    f"=> {rt*n_chan:.0f} channel-ms/ms aggregate")
