@@ -333,33 +333,37 @@ def child_acq(result_file, honest_wall):
     import jax.numpy as jnp
 
     from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN
-    from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power
-    from stm32f4_sdr_gps_tpu.ops.correlate import dft_tables_device
+    from stm32f4_sdr_gps_tpu.acquire.engine import (
+        acquisition_power,
+        analyze_power_device,
+    )
+    from stm32f4_sdr_gps_tpu.ops.correlate import (
+        code_spectrum_conj_matmul,
+        dft_tables_device,
+        pack_code_bits,
+        unpack_code_table,
+    )
+    from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    # "matmul" evaluates the cube with MXU matmul-DFTs (profileable HLO;
-    # the FFT program hits the tunnel's profiler quirk), "fft" is the
-    # XLA-FFT path
+    # "matmul" evaluates the cube with MXU matmul-DFTs, "fft" is the
+    # XLA-FFT path.  Measured r2 (device trace): matmul 11.3 ms/cube,
+    # fft 16.0 ms — matmul is the default.
     method = os.environ.get("BENCH_ACQ_METHOD", "matmul")
     plan = BASEBAND_PLAN
     acq = AcqConfig()
     prns = list(range(1, 33))
-    # cfc/rot must be jit *arguments*, not closure constants: a captured
-    # device array is constant-folded at lowering, which needs a
-    # device->host copy (UNIMPLEMENTED on the axon tunnel).  Built in
-    # pure numpy — touching the CPU jax backend in this process is a
-    # suspected trigger of the profiler UNIMPLEMENTED (the tracking
-    # children never touch it and their traces succeed).
-    from stm32f4_sdr_gps_tpu.ops.correlate import sampled_code_table
-
-    cfc = np.conj(np.fft.fft(sampled_code_table(prns, plan),
-                             axis=-1)).astype(np.complex64)
+    # Everything is built ON device from tiny uploads (8 KB packed code
+    # bits + 29 Doppler bins): host->device transfers flip UNIMPLEMENTED
+    # in degraded tunnel windows even below 1 MB, and jit closure
+    # constants are out too (constant-folding pulls device->host).
+    s = plan.samples_per_epoch
+    packed = pack_code_bits(prns, plan)
     bins_host = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
-    t_s = (np.arange(plan.samples_per_epoch, dtype=np.float64)
-           / plan.sample_rate_hz)
-    rot = np.exp(-2j * np.pi * bins_host[:, None].astype(np.float64)
-                 * t_s[None, :]).astype(np.complex64)
+    table_d = unpack_code_table(jax.device_put(packed), s)
+    rot_d = jax.jit(doppler_rotations, static_argnums=(1, 2))(
+        jax.device_put(bins_host), s, plan.sample_rate_hz)
 
     @jax.jit
     def _make(key):
@@ -369,19 +373,26 @@ def child_acq(result_file, honest_wall):
                 + 1j * jax.random.normal(ki, shape, dtype=jnp.float32))
 
     acq_epochs = _make(jax.random.PRNGKey(1))
-    cfc_d = jax.device_put(cfc)
-    rot_d = jax.device_put(rot)
+    bins_d = jax.device_put(bins_host)
+    excl = max(1, int(round(acq.exclude_chips * plan.samples_per_chip)))
+    # The traced program is the PRODUCTION acquisition: power cube +
+    # device-side peak analysis, returning only (P,) vectors.  With the
+    # full 7.6 MB cube as the program output the tunnel profiler
+    # returns no device events (r2 finding, tools/tpu_acq_trace_probe);
+    # with the reduced output it traces.
     if method == "matmul":
-        # tables are generated ON device: a host-built (S, S) f32 table
-        # is 16.7 MB and this transport rejects host->device transfers
-        # that large (UNIMPLEMENTED — found by tools/tpu_acq_trace_probe)
-        dft_d = dft_tables_device(plan.samples_per_epoch)
-        power_fn = jax.jit(lambda e, c, r, w0, w1: acquisition_power(
-            e, c, r, dft=(w0, w1)))
-        args = (acq_epochs, cfc_d, rot_d) + dft_d
+        # matmul path needs no FFT HLO anywhere: the DFT twiddle tables
+        # are generated on device and the code spectrum is a matmul
+        dft_d = dft_tables_device(s)
+        cfc_d = code_spectrum_conj_matmul(table_d, *dft_d)
+        power_fn = jax.jit(lambda e, c, r, b, w0, w1: analyze_power_device(
+            acquisition_power(e, c, r, dft=(w0, w1)), b, excl))
+        args = (acq_epochs, cfc_d, rot_d, bins_d) + dft_d
     else:
-        power_fn = jax.jit(acquisition_power)
-        args = (acq_epochs, cfc_d, rot_d)
+        cfc_d = jax.jit(lambda t: jnp.conj(jnp.fft.fft(t)))(table_d)
+        power_fn = jax.jit(lambda e, c, r, b: analyze_power_device(
+            acquisition_power(e, c, r), b, excl))
+        args = (acq_epochs, cfc_d, rot_d, bins_d)
     t0 = time.perf_counter()
     power_fn = power_fn.lower(*args).compile()
     log(f"acquisition[{method}]: compiled in {time.perf_counter()-t0:.1f}s")

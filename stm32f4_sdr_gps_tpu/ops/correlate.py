@@ -59,6 +59,40 @@ def fft_circular_correlate(
     return jnp.fft.ifft(X[..., None, :] * cfc, axis=-1)
 
 
+def pack_code_bits(prns, plan: SignalPlan) -> np.ndarray:
+    """(P, ceil(S/8)) uint8 — sampled C/A code chips, bit-packed.
+
+    A tiny-upload form of ``sampled_code_table`` (8 KB for 32 PRNs vs
+    262 KB f32): some transports reject even sub-MB host->device
+    transfers in degraded windows, so ship bits and rebuild the bipolar
+    table on device with ``unpack_code_table``."""
+    table = sampled_code_table(prns, plan)
+    return np.packbits((table < 0).astype(np.uint8), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def unpack_code_table(packed: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(P, S) bipolar f32 code table from ``pack_code_bits``, on device."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)    # packbits is MSB-first
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(packed.shape[0], -1)[:, :s]
+    return 1.0 - 2.0 * bits.astype(jnp.float32)
+
+
+@jax.jit
+def code_spectrum_conj_matmul(table: jnp.ndarray, wc: jnp.ndarray,
+                              ws: jnp.ndarray) -> jnp.ndarray:
+    """conj(DFT(code)) built with the matmul DFT — no FFT HLO.
+
+    For a real code row c: DFT(c) = c @ (wc - i*ws), so
+    conj(DFT(c)) = c @ wc + i*(c @ ws).  With ``unpack_code_table``
+    this keeps the whole matmul acquisition build on device from an
+    8 KB upload."""
+    return jax.lax.complex(
+        jnp.matmul(table, wc, precision=jax.lax.Precision.HIGHEST),
+        jnp.matmul(table, ws, precision=jax.lax.Precision.HIGHEST))
+
+
 def dft_tables(n: int, dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
     """(cos, sin) of the length-n DFT twiddle matrix, as host arrays.
 

@@ -140,3 +140,26 @@ def test_acquire_with_matmul_dft():
     assert res.detected
     assert abs(res.doppler_hz - 2400.0) < 250.0
     assert abs(_phase_err(res.code_phase_chips, 77.7)) < 0.5
+
+
+def test_packed_code_bits_roundtrip_and_matmul_spectrum():
+    """8 KB bit-packed upload rebuilds the exact code table on device,
+    and the matmul-built conj spectrum matches the FFT one (the no-FFT
+    no-big-upload acquisition build for restrictive transports)."""
+    import jax.numpy as jnp
+    from stm32f4_sdr_gps_tpu.ops.correlate import (
+        code_spectrum_conj_matmul, dft_tables_device, pack_code_bits,
+        sampled_code_table, unpack_code_table)
+
+    prns = [3, 9, 27]
+    s = BASEBAND_PLAN.samples_per_epoch
+    packed = pack_code_bits(prns, BASEBAND_PLAN)
+    assert packed.nbytes < 1024 * len(prns)
+    table = np.asarray(unpack_code_table(jnp.asarray(packed), s))
+    np.testing.assert_array_equal(table,
+                                  sampled_code_table(prns, BASEBAND_PLAN))
+    wc, ws = dft_tables_device(s)
+    cfc_mm = np.asarray(code_spectrum_conj_matmul(jnp.asarray(table), wc, ws))
+    cfc_fft = np.conj(np.fft.fft(table, axis=-1))
+    np.testing.assert_allclose(cfc_mm, cfc_fft, atol=2e-2 * np.abs(
+        cfc_fft).max())

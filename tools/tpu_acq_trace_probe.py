@@ -40,7 +40,9 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from stm32f4_sdr_gps_tpu.config import AcqConfig, BASEBAND_PLAN, TrackConfig  # noqa: E402
 from stm32f4_sdr_gps_tpu.acquire.engine import acquisition_power  # noqa: E402
-from stm32f4_sdr_gps_tpu.ops.correlate import dft_tables_device, sampled_code_table  # noqa: E402
+from stm32f4_sdr_gps_tpu.ops.correlate import (
+    code_spectrum_conj_matmul, dft_tables_device, pack_code_bits,
+    unpack_code_table)  # noqa: E402
 from stm32f4_sdr_gps_tpu.ops.pallas_epl import upsampled_code_doubled  # noqa: E402
 from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import track_block_pallas  # noqa: E402
 from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar  # noqa: E402
@@ -88,13 +90,15 @@ jax.block_until_ready((st, outs))
 log("track warm-up synced")
 
 # ---- acquisition program (matmul DFT) ---------------------------------
-cfc = np.conj(np.fft.fft(sampled_code_table(prns, plan),
-                         axis=-1)).astype(np.complex64)
+from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
+s_len = plan.samples_per_epoch
+packed = pack_code_bits(prns, plan)
 bins = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
-t_s = np.arange(plan.samples_per_epoch, dtype=np.float64) / plan.sample_rate_hz
-rot = np.exp(-2j * np.pi * bins[:, None].astype(np.float64)
-             * t_s[None, :]).astype(np.complex64)
-wc, ws = dft_tables_device(plan.samples_per_epoch)
+table_d = unpack_code_table(jax.device_put(packed), s_len)
+rot_d = jax.jit(doppler_rotations, static_argnums=(1, 2))(
+    jax.device_put(bins), s_len, plan.sample_rate_hz)
+wc, ws = dft_tables_device(s_len)
+cfc_d = code_spectrum_conj_matmul(table_d, wc, ws)
 # reduced output: the full (P, D, S) cube is 7.6 MB; hypothesis is the
 # tunnel profiler fails on large-output programs (tracking outputs are
 # small and trace fine) — reduce to per-(P, D) peak power + lag
@@ -105,7 +109,7 @@ def _acq_reduced(e, c, r, w0, w1):
 
 acq_fn = jax.jit(_acq_reduced)
 acq_epochs = _make(jax.random.PRNGKey(1), n=int(acq.noncoherent_epochs))
-args = (acq_epochs, jax.device_put(cfc), jax.device_put(rot), wc, ws)
+args = (acq_epochs, cfc_d, rot_d, wc, ws)
 t0 = time.perf_counter()
 acq_fn = acq_fn.lower(*args).compile()
 log(f"acq compiled in {time.perf_counter()-t0:.1f}s")
