@@ -27,11 +27,14 @@ import numpy as np
 from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN, FREQ_L1_HZ
 from ..ops.correlate import (
     code_fft_conj,
+    code_spectrum_conj_matmul,
     dft_tables_device,
     fft_circular_correlate,
     lag_to_code_phase,
     matmul_circular_correlate,
     noncoherent_power,
+    pack_code_bits,
+    unpack_code_table,
 )
 from ..ops.wipeoff import doppler_rotations
 
@@ -96,14 +99,16 @@ def acquisition_power(
     return acc
 
 
-def _parabolic_offset(ym1, y0, yp1):
-    denom = ym1 - 2.0 * y0 + yp1
-    return np.where(np.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
-
-
 def _parabolic_offset_jnp(ym1, y0, yp1):
     denom = ym1 - 2.0 * y0 + yp1
     return jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+
+
+def exclusion_lags(cfg: AcqConfig, plan: SignalPlan) -> int:
+    """Second-peak exclusion half-width in lag samples (shared by
+    analyze_power and the benchmark's traced program so the two can't
+    drift)."""
+    return max(1, int(round(cfg.exclude_chips * plan.samples_per_chip)))
 
 
 @functools.partial(jax.jit, static_argnames=("excl",))
@@ -169,8 +174,12 @@ def analyze_power(
 
     Thin host wrapper over ``analyze_power_device``: only the per-PRN
     scalar vectors are transferred, then thresholded into AcqResults.
+    (The axon tunnel rejects device->host reads of ANY size, so on that
+    transport acquisition results must come via the traced/digest path —
+    bench.py times the reduced program without reading it back; on
+    healthy transports this wrapper's readback is ~200 bytes.)
     """
-    excl = max(1, int(round(cfg.exclude_chips * plan.samples_per_chip)))
+    excl = exclusion_lags(cfg, plan)
     bins = jnp.asarray(np.asarray(doppler_bins_hz, dtype=np.float32))
     peak, lag, doppler, second, mean = (
         np.asarray(v) for v in analyze_power_device(
@@ -216,13 +225,19 @@ def acquire(
     if len(samples) < e * s:
         raise ValueError(f"need at least {e} epochs of samples")
     epochs = jnp.asarray(samples[: e * s].reshape(e, s), dtype=jnp.complex64)
-    cfc = code_fft_conj(prns, plan)
     bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
     rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
     co = cfg.coherent_epochs
     dft = None
     if cfg.use_matmul_dft:
+        # no-FFT, tiny-upload build: twiddle tables generated on device,
+        # codes shipped bit-packed (8 KB), code spectrum as a matmul —
+        # the whole point of the matmul path on restrictive transports
         dft = dft_tables_device(s)
+        packed = jnp.asarray(pack_code_bits(prns, plan))
+        cfc = code_spectrum_conj_matmul(unpack_code_table(packed, s), *dft)
+    else:
+        cfc = code_fft_conj(prns, plan)
     n_hyp = max(1, int(cfg.edge_hypotheses))
     # the (P, D, S) cube stays ON DEVICE end to end: hypothesis
     # max-combining and hint masking are device ops, and analyze_power

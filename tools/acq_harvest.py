@@ -26,6 +26,7 @@ SLEEP_S = 240
 
 
 def main():
+    RESULT.unlink(missing_ok=True)   # a stale result must not read as fresh
     deadline = time.time() + MAX_HOURS * 3600
     it = 0
     while time.time() < deadline and not STOP.exists():

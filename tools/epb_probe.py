@@ -3,6 +3,10 @@ step) on the TPU: compile, trace, print device-time real-time multiple.
 
 Usage: python tools/epb_probe.py [EPB] [block_epochs] [n_chan]
 Self-alarmed (never kill externally — tunnel rules in CLAUDE.md).
+
+ONE EPB value per process: EPB is a module constant read at trace
+time and is NOT part of any jit cache key, so re-tracing with a second
+value in the same process would silently reuse the first compilation.
 """
 import glob
 import gzip
