@@ -163,3 +163,65 @@ def test_packed_code_bits_roundtrip_and_matmul_spectrum():
     cfc_fft = np.conj(np.fft.fft(table, axis=-1))
     np.testing.assert_allclose(cfc_mm, cfc_fft, atol=2e-2 * np.abs(
         cfc_fft).max())
+
+
+def test_analyze_power_device_edge_cases():
+    """Device analyzer vs an independent numpy reimplementation on
+    adversarial cubes: peak at Doppler-bin edges (no interior parabolic
+    fit), peak at lag 0 (wraparound neighbors + wraparound exclusion
+    zone), and a single-bin cube (hint-confined search, step=0)."""
+    import jax.numpy as jnp
+    from stm32f4_sdr_gps_tpu.acquire.engine import analyze_power_device
+
+    rng = np.random.default_rng(42)
+    s = 64
+    excl = 5
+
+    def host_ref(power, bins):
+        p_cnt, d_cnt, _ = power.shape
+        out = []
+        for pi in range(p_cnt):
+            cube = power[pi]
+            di, si = divmod(int(np.argmax(cube)), s)
+            peak = cube[di, si]
+            row = cube[di]
+            den = row[(si - 1) % s] - 2 * peak + row[(si + 1) % s]
+            frac = 0.5 * (row[(si - 1) % s] - row[(si + 1) % s]) / den \
+                if abs(den) > 1e-12 else 0.0
+            lag = si + np.clip(frac, -0.5, 0.5)
+            if 0 < di < d_cnt - 1:
+                dden = cube[di - 1, si] - 2 * peak + cube[di + 1, si]
+                dfrac = np.clip(0.5 * (cube[di - 1, si] - cube[di + 1, si])
+                                / dden, -0.5, 0.5) if abs(dden) > 1e-12 else 0
+            else:
+                dfrac = 0.0
+            step = bins[1] - bins[0] if d_cnt > 1 else 0.0
+            dopp = bins[di] + dfrac * step
+            idx = np.arange(s)
+            dist = np.minimum((idx - si) % s, (si - idx) % s)
+            second = np.where(dist[None, :] > excl, cube, 0.0).max()
+            out.append((peak, lag, dopp, second, cube.mean()))
+        return np.array(out, dtype=np.float32)
+
+    # multi-bin cube with peaks forced onto edges/wraparound positions
+    bins = np.array([-1000.0, 0.0, 1000.0], dtype=np.float32)
+    power = rng.random((4, 3, s)).astype(np.float32)
+    power[0, 0, 0] = 10.0      # lowest bin edge + lag 0 (wraparound)
+    power[1, 2, s - 1] = 9.0   # highest bin edge + last lag
+    power[2, 1, 17] = 8.0      # interior: real parabolic fits both axes
+    power[3, 1, 17] = 8.0
+    power[3, 1, (17 + excl + 3) % s] = 7.5   # strong second peak
+    got = analyze_power_device(jnp.asarray(power), jnp.asarray(bins), excl)
+    want = host_ref(power, bins)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(v) for v in got], axis=1), want,
+        rtol=1e-5, atol=1e-5)
+
+    # single-Doppler-bin cube (hint-confined): step must be 0, not NaN
+    power1 = rng.random((2, 1, s)).astype(np.float32)
+    got1 = analyze_power_device(jnp.asarray(power1),
+                                jnp.asarray(bins[:1]), excl)
+    want1 = host_ref(power1, bins[:1])
+    np.testing.assert_allclose(
+        np.stack([np.asarray(v) for v in got1], axis=1), want1,
+        rtol=1e-5, atol=1e-5)
