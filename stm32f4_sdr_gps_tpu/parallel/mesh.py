@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.correlate import fft_circular_correlate, noncoherent_power
+from ..ops.correlate import (
+    fft_circular_correlate,
+    matmul_circular_correlate,
+    noncoherent_power,
+)
 from ..track.state import TrackState
 
 
@@ -52,6 +56,8 @@ def sharded_acquisition_power(
     mesh: Mesh,
     gather_output: bool = False,   # replicate the cube on every device
     #   (multi-process runs need a fully-addressable result)
+    dft: tuple | None = None,  # (wc, ws) replicated matmul-DFT tables —
+    #   MXU path (acquire.engine semantics); None = FFT path
 ) -> jnp.ndarray:
     """Full non-coherent power cube (P, D, S), computed with epochs
     sharded over the ``time`` axis and PRNs over ``chan``; the partial
@@ -59,10 +65,13 @@ def sharded_acquisition_power(
     collective equivalent of the firmware's sequential histogram
     accumulation)."""
 
-    def local(epochs_l, cfc_l, rot_l):
+    def local(epochs_l, cfc_l, rot_l, *dft_l):
         def body(acc, x):
             xd = x[None, :] * rot_l                    # (D, S)
-            corr = fft_circular_correlate(xd, cfc_l)   # (D, Pl, S)
+            if dft_l:                                  # MXU matmul-DFT
+                corr = matmul_circular_correlate(xd, cfc_l, *dft_l)
+            else:
+                corr = fft_circular_correlate(xd, cfc_l)   # (D, Pl, S)
             return acc + noncoherent_power(corr).transpose(1, 0, 2), None
 
         p_l, s = cfc_l.shape
@@ -78,17 +87,19 @@ def sharded_acquisition_power(
             acc = jax.lax.all_gather(acc, "chan", axis=0, tiled=True)
         return acc
 
+    extra = () if dft is None else tuple(dft)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("time", None), P("chan", None), P(None, None)),
+        in_specs=(P("time", None), P("chan", None), P(None, None))
+        + tuple(P(None, None) for _ in extra),
         out_specs=P(None, None, None) if gather_output
         else P("chan", None, None),
         # the VMA checker can't infer that a tiled all_gather over
         # 'chan' makes the result replicated
         check_vma=not gather_output,
     )
-    return fn(epochs, cfc, rot)
+    return fn(epochs, cfc, rot, *extra)
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,13 @@ from jax.sharding import Mesh
 
 from ..acquire.engine import AcqResult, analyze_power, apply_doppler_hints
 from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN
-from ..ops.correlate import code_fft_conj
+from ..ops.correlate import (
+    code_fft_conj,
+    code_spectrum_conj_matmul,
+    dft_tables_device,
+    pack_code_bits,
+    unpack_code_table,
+)
 from ..ops.wipeoff import doppler_rotations
 from ..track.scan import track_block
 from ..track.state import TrackState
@@ -67,11 +73,18 @@ def acquire_sharded(
     prns = list(prns)
     pad = (-len(prns)) % nc
     padded = prns + prns[:pad]          # repeat head PRNs as padding
-    cfc = code_fft_conj(padded, plan)
     bins = np.asarray(cfg.doppler_bins_hz, dtype=np.float32)
     rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
+    dft = None
+    if cfg.use_matmul_dft:
+        # MXU matmul-DFT build, tiny uploads (acquire.engine semantics)
+        dft = dft_tables_device(s)
+        packed = jnp.asarray(pack_code_bits(padded, plan))
+        cfc = code_spectrum_conj_matmul(unpack_code_table(packed, s), *dft)
+    else:
+        cfc = code_fft_conj(padded, plan)
     with jax.sharding.set_mesh(mesh):
-        power = sharded_acquisition_power(epochs, cfc, rot, mesh)
+        power = sharded_acquisition_power(epochs, cfc, rot, mesh, dft=dft)
         power.block_until_ready()
     # the sharded cube stays on the mesh: PRN-pad slice, hint mask and
     # peak analysis are device ops; only (P,) scalars reach the host

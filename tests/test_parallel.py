@@ -144,3 +144,26 @@ def test_acquire_sharded_applies_doppler_hints():
                           doppler_hints_hz={3: -4000.0})
     by = {r.prn: r for r in res}
     assert not by[3].detected
+
+
+def test_acquire_sharded_matmul_dft():
+    """Mesh-sharded acquisition on the MXU matmul-DFT path finds the
+    planted satellite with the same verdicts as the FFT path."""
+    from stm32f4_sdr_gps_tpu.parallel.streaming import acquire_sharded
+
+    _need_devices(8)
+    mesh = make_mesh(time=2, chan=4)
+    sat = SimSat(prn=5, doppler_hz=-2250.0, code_phase_chips=901.5,
+                 cn0_dbhz=46.0)
+    x, _ = simulate_capture([sat], num_epochs=10, seed=2)
+    prns = list(range(1, 9))
+    res_mm = acquire_sharded(x, prns, mesh, PLAN,
+                             AcqConfig(use_matmul_dft=True))
+    res_ff = acquire_sharded(x, prns, mesh, PLAN, AcqConfig())
+    for mm, ff in zip(res_mm, res_ff):
+        assert mm.detected == ff.detected
+        if mm.detected:
+            assert abs(mm.doppler_hz - ff.doppler_hz) < 5.0
+            assert abs(mm.code_phase_chips - ff.code_phase_chips) < 0.05
+    by = {r.prn: r for r in res_mm}
+    assert by[5].detected and abs(by[5].doppler_hz + 2250.0) < 250.0
