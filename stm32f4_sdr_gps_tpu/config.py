@@ -213,7 +213,14 @@ class TrackConfig:
     # With use_pallas the code_table passed to track_block must be the
     # ops.pallas_epl.upsampled_code_doubled table.
     use_pallas: bool = False
-    pallas_interpret: bool = False    # CPU debugging of the kernel
+    # THE production TPU path: run the whole T-epoch x C-channel loop
+    # inside one Pallas kernel (ops.pallas_track_scan; 181x RT at 32 ch
+    # on v5e).  track_block dispatches to it; the code_table must be
+    # the doubled upsampled table (the Receiver builds it when this or
+    # use_pallas is set).  Requires the 2.046 MHz BASEBAND_PLAN; any
+    # channel count (padded to the 8-sublane tile internally).
+    in_kernel_scan: bool = False
+    pallas_interpret: bool = False    # CPU debugging of the kernels
     emit_correlators: bool = False    # include E/L outputs (diagnostics)
 
 

@@ -594,8 +594,23 @@ def pallas_track_scan(
     t_cnt, s_cnt = epochs.shape
     assert s_cnt == S, "pallas scan requires the 2.046 MHz baseband plan"
     t_pad = -(-t_cnt // EPB) * EPB
-    c = u2.shape[0]
-    assert c % 8 == 0, "channel count must be a multiple of 8"
+    c_real = u2.shape[0]
+    c = -(-c_real // 8) * 8
+    if c != c_real:
+        # channel planes are (·, C, 1) sublane-tiled rows — pad to the
+        # 8-sublane tile by repeating the last channel (channels are
+        # independent; pad trajectories are sliced off below), so any
+        # receiver channel count works
+        pad = c - c_real
+
+        def _pad(leaf):
+            return jnp.concatenate(
+                [leaf, jnp.repeat(leaf[:, -1:], pad, axis=1)], axis=1)
+
+        state = PallasScanState(
+            f32=_pad(state.f32), i32=_pad(state.i32), win=_pad(state.win),
+            ramp=_pad(state.ramp), dref=_pad(state.dref))
+        u2 = jnp.concatenate([u2, jnp.repeat(u2[-1:], pad, axis=0)], axis=0)
     win_len = state.win.shape[0]
     assert win_len == cfg.pll_check_window
 
@@ -664,8 +679,15 @@ def pallas_track_scan(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(state.f32, state.i32, state.win, x, u2, state.ramp, state.dref)
-    return PallasScanState(f32=f32_out, i32=i32_out, win=win_out,
-                           ramp=ramp_out, dref=dref_out), out[:t_cnt]
+    new_state = PallasScanState(f32=f32_out, i32=i32_out, win=win_out,
+                                ramp=ramp_out, dref=dref_out)
+    if c != c_real:
+        new_state = PallasScanState(
+            f32=f32_out[:, :c_real], i32=i32_out[:, :c_real],
+            win=win_out[:, :c_real], ramp=ramp_out[:, :c_real],
+            dref=dref_out[:, :c_real])
+        return new_state, out[:t_cnt, :c_real]
+    return new_state, out[:t_cnt]
 
 
 def track_block_pallas(

@@ -180,6 +180,18 @@ class Receiver:
         return NavFramer(
             polarity_timeout_ms=600 * self.config.track.codes_in_bit)
 
+    def _device_code_table(self, table_np: np.ndarray) -> jnp.ndarray:
+        """Code table in the form the configured tracking backend needs:
+        the doubled upsampled table for the Pallas paths
+        (cfg.track.use_pallas / in_kernel_scan), the raw (C, 1023)
+        bipolar table for the jnp reference path."""
+        t = self.config.track
+        if t.use_pallas or t.in_kernel_scan:
+            from ..ops.pallas_epl import upsampled_code_doubled
+
+            return jnp.asarray(upsampled_code_doubled(table_np))
+        return jnp.asarray(table_np)
+
     # -- stages -----------------------------------------------------------
 
     def acquire_all(self, samples: np.ndarray,
@@ -236,7 +248,7 @@ class Receiver:
             refined = refine_code_phase(
                 samples, table_np, phases, dopplers, cfg.plan, cfg.track
             )
-        self.code_table = jnp.asarray(table_np)
+        self.code_table = self._device_code_table(table_np)
         self.track_state = init_state(
             len(live), refined, dopplers, start_epoch=start_epoch,
             window=cfg.track.pll_check_window,
@@ -806,7 +818,7 @@ class Receiver:
                                window=cfg.track.pll_check_window)
         self.track_state = concat_states(self.track_state, new_state)
         self.code_table = jnp.concatenate(
-            [self.code_table, jnp.asarray(table_new)], axis=0
+            [self.code_table, self._device_code_table(table_new)], axis=0
         )
         for ch, res in hits:
             ch.acq = res

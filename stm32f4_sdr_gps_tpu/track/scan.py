@@ -364,7 +364,17 @@ def track_block(
     """Scan ``T`` epochs of signal through all channels.
 
     Returns ``(final_state, TrackOutputs with (T, C) leaves)``.
+
+    With ``cfg.in_kernel_scan`` the whole loop runs inside one Pallas
+    kernel (ops.pallas_track_scan — the production TPU path); the
+    ``code_table`` must then be the doubled upsampled table, same as
+    ``cfg.use_pallas``.
     """
+    if cfg.in_kernel_scan:
+        from ..ops.pallas_track_scan import track_block_pallas
+
+        return track_block_pallas(state, epochs, code_table, plan, cfg,
+                                  interpret=cfg.pallas_interpret)
 
     def body(st, x):
         return track_epoch_step(st, x, code_table, plan, cfg)

@@ -264,3 +264,81 @@ def test_in_kernel_scan_wide_channel_batch():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_k.doppler_hz),
                                np.asarray(out_epl.doppler_hz), atol=0.5)
+
+
+def test_track_block_dispatches_in_kernel_scan():
+    """cfg.in_kernel_scan routes track_block through the Pallas kernel
+    (the production TPU path, receiver-wired) — including at a channel
+    count that is NOT a multiple of the 8-sublane tile (auto-padding).
+
+    Equivalence target is the pallas-epl config (same half-chip
+    replica semantics as the in-kernel scan)."""
+    E = 40
+    C = 5
+    x, sats = _scenario(E, seed=17)
+    epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
+    prns = PRNS[:C]
+    table = ca_table_bipolar(prns)
+    u2 = jnp.asarray(upsampled_code_doubled(table))
+    cfg0 = TrackConfig(codes_in_bit=CIB)
+    st0 = init_state(
+        C,
+        np.array([s.code_phase_chips + 0.1 for s in sats[:C]]),
+        np.array([s.doppler_hz + 15.0 for s in sats[:C]]),
+        window=cfg0.pll_check_window,
+    )
+    cfg_epl = dataclasses.replace(cfg0, use_pallas=True,
+                                  pallas_interpret=True)
+    st_a, out_a = track_block(st0, epochs, u2, PLAN, cfg_epl)
+    cfg_ik = dataclasses.replace(cfg0, in_kernel_scan=True,
+                                 pallas_interpret=True)
+    st_b, out_b = track_block(st0, epochs, u2, PLAN, cfg_ik)
+    assert np.asarray(out_b.ip).shape == (E, C)
+    np.testing.assert_allclose(np.asarray(out_b.ip), np.asarray(out_a.ip),
+                               rtol=2e-4, atol=2.0)
+    np.testing.assert_allclose(np.asarray(out_b.code_phase_chips),
+                               np.asarray(out_a.code_phase_chips),
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out_b.bit_ready),
+                                  np.asarray(out_a.bit_ready))
+    np.testing.assert_allclose(np.asarray(st_b.doppler_hz),
+                               np.asarray(st_a.doppler_hz), atol=0.5)
+
+
+def test_track_and_digest_in_kernel():
+    """The Receiver's single-jit track+digest program runs on the
+    in-kernel scan (cfg.in_kernel_scan) and produces the same block
+    digest as the pallas-epl path — the receiver-facing contract of the
+    production TPU path."""
+    from stm32f4_sdr_gps_tpu.runtime.receiver import _track_and_digest
+
+    E = 40
+    x, sats = _scenario(E, seed=19)
+    epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
+    table = ca_table_bipolar(PRNS)
+    u2 = jnp.asarray(upsampled_code_doubled(table))
+    cfg0 = TrackConfig(codes_in_bit=CIB)
+    st0 = init_state(
+        len(PRNS),
+        np.array([s.code_phase_chips + 0.1 for s in sats]),
+        np.array([s.doppler_hz + 15.0 for s in sats]),
+        window=cfg0.pll_check_window,
+    )
+    cfg_epl = dataclasses.replace(cfg0, use_pallas=True,
+                                  pallas_interpret=True)
+    cfg_ik = dataclasses.replace(cfg0, in_kernel_scan=True,
+                                 pallas_interpret=True)
+    import jax as _jax
+
+    st_a, d_a = _track_and_digest(st0, epochs, u2, PLAN, cfg_epl, 8, False)
+    st_b, d_b = _track_and_digest(st0, epochs, u2, PLAN, cfg_ik, 8, False)
+    la, _ = _jax.tree.flatten(d_a)
+    lb, _ = _jax.tree.flatten(d_b)
+    assert len(la) == len(lb)
+    for va, vb in zip(la, lb):
+        va = np.asarray(va)
+        vb = np.asarray(vb)
+        if va.dtype.kind in "fc":
+            np.testing.assert_allclose(vb, va, rtol=3e-3, atol=2.0)
+        else:
+            np.testing.assert_array_equal(vb, va)
