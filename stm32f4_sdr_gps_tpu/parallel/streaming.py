@@ -115,9 +115,50 @@ class StreamingTracker:
         s = self.plan.samples_per_epoch
         n = len(samples) // s
         epochs = jnp.asarray(samples[: n * s].reshape(n, s), jnp.complex64)
+        if getattr(self.cfg, "in_kernel_scan", False):
+            return self._process_in_kernel(epochs)
         with jax.sharding.set_mesh(self.mesh):
             epochs = replicated(epochs, self.mesh)
             self.state, outs = track_block(
                 self.state, epochs, self.code_table, self.plan, self.cfg
             )
+        return outs
+
+    def _process_in_kernel(self, epochs):
+        """Channel-sharded in-kernel scan via shard_map.
+
+        A ``pallas_call`` is a custom call GSPMD cannot partition, so
+        the production kernel runs explicitly per channel shard: each
+        device advances its channel subset through the whole block
+        (zero collectives — the channel axis is embarrassingly
+        parallel), with the epoch stream replicated.  Per-shard channel
+        counts are tile-padded inside the kernel, so any divisible
+        sharding works."""
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names)
+
+        def local(st, tbl, ep):
+            return track_block(st, ep, tbl, self.plan, self.cfg)
+
+        def lead_spec(x):
+            return P(axes, *([None] * (x.ndim - 1)))
+
+        st_specs = jax.tree.map(lead_spec, self.state)
+        out_shapes = jax.eval_shape(local, self.state, self.code_table,
+                                    epochs)
+        _, outs_shapes = out_shapes
+        o_specs = jax.tree.map(
+            lambda x: P(None, axes) if x.ndim == 2 else P(None),
+            outs_shapes)
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(st_specs, P(axes, None), P(None, None)),
+            out_specs=(st_specs, o_specs),
+            # pallas_call's out_shape structs carry no vma annotation,
+            # so the VMA checker cannot type the kernel's outputs
+            check_vma=False,
+        )
+        self.state, outs = fn(self.state, self.code_table, epochs)
         return outs
