@@ -471,9 +471,21 @@ def parent_main():
             "using trace timing")
         canary = {"honest_wall": False, "platform": "tpu"}
     else:
-        _run_child({"BENCH_CHILD": "canary",
-                    "BENCH_RESULT_FILE": canary_file}, parent_timeout)
-        canary = _read_json(canary_file)
+        # the tunnel has degraded windows minutes long in which device
+        # ops flip UNIMPLEMENTED or hang (CLAUDE.md) — one bad window
+        # must not demote the round's artifact to a CPU number, so
+        # retry the canary with waits before giving up
+        canary = None
+        for attempt in range(3):
+            if attempt:
+                log(f"canary retry {attempt} (waiting out a possible "
+                    f"degraded window)")
+                time.sleep(120)
+            _run_child({"BENCH_CHILD": "canary",
+                        "BENCH_RESULT_FILE": canary_file}, parent_timeout)
+            canary = _read_json(canary_file)
+            if canary is not None:
+                break
     if canary is None:
         log("canary child produced no result; falling back to CPU")
         _cpu_fallback()
@@ -488,6 +500,20 @@ def parent_main():
     for name in paths:
         rf = os.path.join(tmp, f"track_{name}.json")
         _run_child({"BENCH_CHILD": f"track:{name}",
+                    "BENCH_RESULT_FILE": rf,
+                    "BENCH_HONEST_WALL": "1" if honest_wall else "0",
+                    "BENCH_BLOCK_EPOCHS": block_epochs}, parent_timeout)
+        r = _read_json(rf)
+        if r:
+            results.append(r)
+
+    if not any(r.get("name") == "pallas-in-kernel-scan" for r in results) \
+            and "pallas-in-kernel-scan" in paths:
+        # the headline path missed its window — one more try after a wait
+        log("headline path missing; retrying pallas-in-kernel-scan")
+        time.sleep(120)
+        rf = os.path.join(tmp, "track_pallas-in-kernel-scan.json")
+        _run_child({"BENCH_CHILD": "track:pallas-in-kernel-scan",
                     "BENCH_RESULT_FILE": rf,
                     "BENCH_HONEST_WALL": "1" if honest_wall else "0",
                     "BENCH_BLOCK_EPOCHS": block_epochs}, parent_timeout)
