@@ -51,15 +51,22 @@ epb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 block_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 n_chan = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 pts.EPB = epb
-log(f"EPB={epb} block_epochs={block_epochs} n_chan={n_chan}")
+coh = os.environ.get("PROBE_COHERENT") == "1"
+log(f"EPB={epb} block_epochs={block_epochs} n_chan={n_chan} "
+    f"coherent={coh}")
 
 plan = BASEBAND_PLAN
-cfg = TrackConfig()
+if coh:
+    from stm32f4_sdr_gps_tpu.config import COHERENT_TRACK
+    cfg = COHERENT_TRACK
+else:
+    cfg = TrackConfig()
 prns = [(i % 32) + 1 for i in range(n_chan)]
 table_np = ca_table_bipolar(prns)
 rng = np.random.default_rng(0)
 state0 = init_state(n_chan, rng.uniform(0, 1023, n_chan),
-                    rng.uniform(-5e3, 5e3, n_chan))
+                    rng.uniform(-5e3, 5e3, n_chan),
+                    window=cfg.pll_check_window)
 u2 = jnp.asarray(upsampled_code_doubled(table_np))
 
 
