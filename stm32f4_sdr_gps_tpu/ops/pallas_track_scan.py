@@ -100,6 +100,15 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # PTS_ABLATE: perf-debug knob (tools/epb_probe.py) — strips one
+    # section so its device cost can be measured by difference.  NEVER
+    # set in production; values: "ramp" (skip the residual-frequency
+    # correction), "wipeoff" (skip the carrier wipe-off entirely),
+    # "correlators" (E/P/L sums replaced by zeros).
+    import os as _os
+
+    ablate = _os.environ.get("PTS_ABLATE", "")
+
     fs = plan.sample_rate_hz
     cps = float(plan.chips_per_sample)
     cib = cfg.codes_in_bit
@@ -252,27 +261,51 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     ramp_st[1] = jnp.sin(two_pi * a)
                     dref[0] = dop
 
-                xk = (two_pi / fs) * (dop - dref[0]) * k      # (C,SP) residual angle
                 rc = ramp_st[0]
                 rs = ramp_st[1]
-                corr = 1.0 - 0.5 * xk * xk
-                cosd = rc * corr - xk * rs
-                sind = rs * corr + xk * rc
+                if ablate == "ramp":
+                    cosd = rc
+                    sind = rs
+                else:
+                    xk = (two_pi / fs) * (dop - dref[0]) * k  # (C,SP) residual
+                    corr = 1.0 - 0.5 * xk * xk
+                    cosd = rc * corr - xk * rs
+                    sind = rs * corr + xk * rc
                 xr = x_ref[ei, 0:1, :]
                 xi = x_ref[ei, 1:2, :]
                 # wipe with the ramp only — the scalar carrier phase is
                 # applied AFTER the correlation sums (linearity): 12
                 # (C,1) mults replace four full (C,SP) VPU passes
-                yr = xr * cosd + xi * sind
-                yi = xi * cosd - xr * sind
+                if ablate == "wipeoff":
+                    yr = jnp.broadcast_to(xr, cosd.shape)
+                    yi = jnp.broadcast_to(xi, sind.shape)
+                else:
+                    yr = xr * cosd + xi * sind
+                    yi = xi * cosd - xr * sind
 
                 # ---- E/P/L correlations (lane reductions) ------------------------
-                ie_r = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
-                qe_r = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
-                ip_r = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
-                qp_r = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
-                il_r = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
-                ql_r = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
+                # full-width jnp.sum over (C, SP) measured 0.5 us PER
+                # reduction (55% of the whole kernel for the six);
+                # tile-wise FMA accumulation over static 128-lane
+                # slices + ONE narrow (C, 128) reduce is ~3x cheaper
+                # The six mult+reduce sums are 55% of the kernel's
+                # device time (ablation-measured, ROADMAP §3); explicit
+                # 128-lane tile accumulation and a fused 6-way tile loop
+                # both compile to the IDENTICAL program as this plain
+                # form (Mosaic canonicalizes them) — keep the simple
+                # spelling
+                if ablate == "correlators":
+                    # one add+reduce keeps the wipeoff alive (no DCE of
+                    # the upstream section) while dropping 6 mult+reduce
+                    z = jnp.sum(yr + yi, axis=1, keepdims=True) * 0.0 + 1.0
+                    ie_r = qe_r = ip_r = qp_r = il_r = ql_r = z
+                else:
+                    ie_r = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
+                    qe_r = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
+                    ip_r = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
+                    qp_r = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
+                    il_r = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
+                    ql_r = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
                 pc = jnp.cos(two_pi * ph)                     # (C,1): 32 els, cheap
                 ps = jnp.sin(two_pi * ph)
                 ie = ie_r * pc + qe_r * ps
