@@ -132,3 +132,30 @@ def test_subframe_times_consistent(report_and_receiver):
     assert times.max() - times.min() <= np.ceil(max(DELAYS_MS)) + 1
     tows = {ch.subframe_tow_s for ch in report.channels}
     assert len(tows) == 1  # same boundary label on every channel
+
+
+def test_receiver_runs_on_in_kernel_scan():
+    """Full Receiver end-to-end on the production TPU kernel
+    (TrackConfig.in_kernel_scan; Pallas interpreter here): acquisition,
+    pretrack handoff, the in-kernel tracking scan, and host nav-bit
+    flow all work through the same Receiver.run() as the reference
+    path — all channels TRACKING with nav bits accumulating."""
+    from stm32f4_sdr_gps_tpu.config import ReceiverConfig, TrackConfig
+    from stm32f4_sdr_gps_tpu.runtime.receiver import Receiver
+
+    num_epochs = 700           # run-in + a couple hundred bits at CIB=3
+    x, _ = _make_capture(num_epochs, seed=23)
+    cfg = ReceiverConfig(
+        prns=PRNS,
+        track=TrackConfig(codes_in_bit=CIB,
+                          pll_bad_state_threshold=10**9,
+                          in_kernel_scan=True,
+                          pallas_interpret=True),
+        enable_position=False,
+    )
+    rx = Receiver(cfg)
+    rx.run(x)
+    assert len(rx.channels) == len(PRNS)
+    for ch in rx.channels:
+        assert ch.state_name == "TRACKING"
+        assert ch.bit_count > 50, (ch.prn, ch.bit_count)
