@@ -353,7 +353,14 @@ def child_acq(result_file, honest_wall):
     # fft 16.0 ms — matmul is the default.
     method = os.environ.get("BENCH_ACQ_METHOD", "matmul")
     plan = BASEBAND_PLAN
-    acq = AcqConfig()
+    # grid knobs for preset measurements (e.g. DEEP_ACQ: EPOCHS=60
+    # COHERENT=4 STEP=125)
+    acq = AcqConfig(
+        noncoherent_epochs=int(os.environ.get("BENCH_ACQ_EPOCHS", "10")),
+        coherent_epochs=int(os.environ.get("BENCH_ACQ_COHERENT", "1")),
+        doppler_step_hz=float(os.environ.get("BENCH_ACQ_STEP", "500")),
+    )
+    coherent = acq.coherent_epochs
     prns = list(range(1, 33))
     # Everything is built ON device from tiny uploads (8 KB packed code
     # bits + 29 Doppler bins): host->device transfers flip UNIMPLEMENTED
@@ -387,12 +394,13 @@ def child_acq(result_file, honest_wall):
         dft_d = dft_tables_device(s)
         cfc_d = code_spectrum_conj_matmul(table_d, *dft_d)
         power_fn = jax.jit(lambda e, c, r, b, w0, w1: analyze_power_device(
-            acquisition_power(e, c, r, dft=(w0, w1)), b, excl))
+            acquisition_power(e, c, r, coherent=coherent, dft=(w0, w1)),
+            b, excl))
         args = (acq_epochs, cfc_d, rot_d, bins_d) + dft_d
     else:
         cfc_d = jax.jit(lambda t: jnp.conj(jnp.fft.fft(t)))(table_d)
         power_fn = jax.jit(lambda e, c, r, b: analyze_power_device(
-            acquisition_power(e, c, r), b, excl))
+            acquisition_power(e, c, r, coherent=coherent), b, excl))
         args = (acq_epochs, cfc_d, rot_d, bins_d)
     t0 = time.perf_counter()
     power_fn = power_fn.lower(*args).compile()
@@ -430,7 +438,10 @@ def child_acq(result_file, honest_wall):
             f"serial => ~58 s/PRN)"
         )
         with open(result_file, "w") as f:
-            json.dump({"acq_s": acq_s, "method": method}, f)
+            json.dump({"acq_s": acq_s, "method": method,
+                       "epochs": acq.noncoherent_epochs,
+                       "coherent": coherent,
+                       "bins": len(bins_host)}, f)
 
 
 # ------------------------------------------------------------------- parent
