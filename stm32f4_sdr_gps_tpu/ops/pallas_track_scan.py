@@ -205,8 +205,14 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             # guard-vs-unguarded identical at 181x)
             @pl.when(g * EPB + ei < t_cnt)
             def _valid_epoch():
-                cp_now = f32_st[0]
-                mc_vec = jnp.floor(2.0 * cp_now).astype(jnp.int32) % S
+                # ---- whole-plane state loads (one ref op per plane;
+                # the [i] slices below are value-level — 60+ tiny (C, 1)
+                # ref reads/writes per epoch were part of the forest
+                # cost, ROADMAP §3) ----------------------------------
+                fS = f32_st[...]
+                iS = i32_st[...]
+                wS = win_st[...]
+                mc_vec = jnp.floor(2.0 * fS[0]).astype(jnp.int32) % S
                 mc_vec = jnp.where(mc_vec == 0, S, mc_vec)
 
                 @pl.when(jnp.any(mc_vec != m_plane[0]))
@@ -214,33 +220,33 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     jax.lax.fori_loop(0, n_chan, refresh_body, 0)
                     m_plane[0] = mc_vec
 
-                # ---- vector state reads (each (C, 1)) ----------------------------
-                cp = f32_st[0]
-                dop = f32_st[1]
-                ph = f32_st[2]
-                dll_prev = f32_st[3]
-                pll_prev = f32_st[4]
-                fll_theta = f32_st[5]
-                fll_err = f32_st[6]
-                acq_dop = f32_st[7]
-                snr_i = f32_st[8]
-                snr_q = f32_st[9]
-                snr_db = f32_st[10]
-                bit_ip = f32_st[11]
-                bit_qp = f32_st[12]
-                fll_primed = i32_st[0]
-                prev_sign = i32_st[1]
-                last_swap = i32_st[2]
-                rpc = i32_st[3]
-                sync = i32_st[4]
-                old_rem = i32_st[5]
-                pos_cnt = i32_st[6]
-                neg_cnt = i32_st[7]
-                bad_cnt = i32_st[8]
-                master = i32_st[9]
-                snr_cnt = i32_st[10]
-                epoch = i32_st[11]
-                wraps = i32_st[12]
+                # ---- vector state reads (value-level plane slices) ---------------
+                cp = fS[0]
+                dop = fS[1]
+                ph = fS[2]
+                dll_prev = fS[3]
+                pll_prev = fS[4]
+                fll_theta = fS[5]
+                fll_err = fS[6]
+                acq_dop = fS[7]
+                snr_i = fS[8]
+                snr_q = fS[9]
+                snr_db = fS[10]
+                bit_ip = fS[11]
+                bit_qp = fS[12]
+                fll_primed = iS[0]
+                prev_sign = iS[1]
+                last_swap = iS[2]
+                rpc = iS[3]
+                sync = iS[4]
+                old_rem = iS[5]
+                pos_cnt = iS[6]
+                neg_cnt = iS[7]
+                bad_cnt = iS[8]
+                master = iS[9]
+                snr_cnt = iS[10]
+                epoch = iS[11]
+                wraps = iS[12]
                 in_sync = sync == 1
 
                 # ---- carrier wipe-off, all channels at once ----------------------
@@ -381,9 +387,9 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 sgn = jnp.where(ip > 0, 1, -1)
                 # transitions of the POST-shift window [old[1:], sgn] — the
                 # (old[1] != old[0]) pair leaves the window this epoch
-                trans = (sgn != win_st[win_len - 1]).astype(jnp.int32)
+                trans = (sgn != wS[win_len - 1]).astype(jnp.int32)
                 for i in range(2, win_len):
-                    trans = trans + (win_st[i] != win_st[i - 1]).astype(jnp.int32)
+                    trans = trans + (wS[i] != wS[i - 1]).astype(jnp.int32)
                 wend = jnp.mod(epoch, cfg.pll_check_window) == (
                     cfg.pll_check_window - 1)
                 bad = trans > 1
@@ -397,20 +403,17 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     wend & (bad2 > 9), master + 1,
                     jnp.where(wend & (bad2 == 0), 0, master),
                 )
+                shifted = jnp.concatenate([wS[1:], sgn[None]], axis=0)
                 if cfg.coherent_pll:
                     # the per-epoch sign-transition statistic is meaningless at
                     # the C/N0 this mode targets — freeze the watchdog while
                     # synced (track_epoch_step does the same)
                     hold = in_sync
-                    for i in range(win_len - 1):
-                        win_st[i] = jnp.where(hold, win_st[i], win_st[i + 1])
-                    win_st[win_len - 1] = jnp.where(hold, win_st[win_len - 1], sgn)
+                    win_st[...] = jnp.where(hold[None], wS, shifted)
                     bad2 = jnp.where(hold, bad_cnt, bad2)
                     master2 = jnp.where(hold, master, master2)
                 else:
-                    for i in range(win_len - 1):
-                        win_st[i] = win_st[i + 1]
-                    win_st[win_len - 1] = sgn
+                    win_st[...] = shifted
                 kick = master2 > cfg.pll_bad_state_threshold
                 iota_c = jax.lax.broadcasted_iota(jnp.int32, (n_chan, 1), 0)
                 u = lcg_uniform(epoch * 37 + iota_c)
@@ -469,32 +472,17 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 qp_sum2 = jnp.where(boundary, 0.0, bit_qp)
                 qp_sum2 = jnp.where(sync2 == 1, qp_sum2 + qp, qp_sum2)
 
-                # ---- state write-back (vector rows) -----------------------------------
-                f32_st[0] = new_cp
-                f32_st[1] = new_dop
-                f32_st[2] = new_ph
-                f32_st[3] = cerr
-                f32_st[4] = phase_err_store
-                f32_st[5] = perr
-                f32_st[6] = fdiff
-                f32_st[8] = snr_i2
-                f32_st[9] = snr_q2
-                f32_st[10] = snr_db2
-                f32_st[11] = ip_sum2
-                f32_st[12] = qp_sum2
-                i32_st[0] = jnp.ones_like(fll_primed)
-                i32_st[1] = sgn
-                i32_st[2] = ls2
-                i32_st[3] = rpc2
-                i32_st[4] = sync2
-                i32_st[5] = rem2
-                i32_st[6] = p2
-                i32_st[7] = n2
-                i32_st[8] = bad2
-                i32_st[9] = master2
-                i32_st[10] = cnt2
-                i32_st[11] = epoch + 1
-                i32_st[12] = wraps + wrapped_flag.astype(jnp.int32)
+                # ---- state write-back: TWO stacked plane stores -------------------
+                # (field order must match _F32_FIELDS/_I32_FIELDS;
+                # acq_doppler is per-epoch constant and written back)
+                f32_st[...] = jnp.stack([
+                    new_cp, new_dop, new_ph, cerr, phase_err_store,
+                    perr, fdiff, acq_dop, snr_i2, snr_q2, snr_db2,
+                    ip_sum2, qp_sum2])
+                i32_st[...] = jnp.stack([
+                    jnp.ones_like(fll_primed), sgn, ls2, rpc2, sync2,
+                    rem2, p2, n2, bad2, master2, cnt2, epoch + 1,
+                    wraps + wrapped_flag.astype(jnp.int32)])
 
                 fz = jnp.zeros_like(ip)
                 out_ref[ei] = jnp.concatenate([
