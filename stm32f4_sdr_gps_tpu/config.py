@@ -222,6 +222,10 @@ class TrackConfig:
     in_kernel_scan: bool = False
     pallas_interpret: bool = False    # CPU debugging of the kernels
     emit_correlators: bool = False    # include E/L outputs (diagnostics)
+    # Perf-ablation knob for the in-kernel scan (tools/epb_probe.py):
+    # "" in production.  A TrackConfig field (static jit key) so ablated
+    # variants can never silently reuse a stale compiled kernel.
+    ablate: str = ""
 
 
 #: Deep-acquisition preset: 4 ms coherent spans with a Doppler grid fine

@@ -36,19 +36,21 @@ U2P = 4352                     # lane-padded doubled upsampled code (+ margin)
 
 
 def upsampled_code_doubled(code_table: np.ndarray) -> np.ndarray:
-    """(C, U2P) float32: code upsampled to 2 samples/chip, tiled twice,
-    zero-padded to the lane-aligned kernel width.
+    """(C, U2P) float32: code upsampled to 2 samples/chip, tiled to the
+    full lane-aligned kernel width.
 
-    Row layout: U[j] = code[floor(j/2) mod 1023] for j < 2*S; the last
-    two slice positions (M+1 = 2046 -> reads up to 4095) stay inside the
-    tiled region; padding beyond is zeros (multiplied by zero-padded
-    signal tails anyway).
+    Row layout: U[j] = code[floor(j/2) mod 1023] for ALL j < U2P, so
+    U[j] == U[j + S] everywhere — the in-kernel-scan barrel relies on
+    that periodicity to fold code wraps (mc jumping 2046 -> 1) back
+    into its shift range with an exact replica.  (The epl kernel only
+    reads j <= 4095; lanes beyond 2*S there multiply the zero-padded
+    signal tail, so extending the fill changes nothing for it.)
     """
     c = code_table.shape[0]
-    j = np.arange(2 * S + 2)
+    j = np.arange(U2P)
     idx = (j // 2) % CODE_LENGTH
-    out = np.zeros((c, U2P), dtype=np.float32)
-    out[:, : 2 * S + 2] = code_table[:, idx]
+    out = np.empty((c, U2P), dtype=np.float32)
+    out[:, :] = code_table[:, idx]
     return out
 
 

@@ -1,10 +1,10 @@
-"""The whole tracking scan inside one Pallas kernel (v2, vectorized).
+"""The whole tracking scan inside one Pallas kernel (v3, vectorized).
 
 THE production TPU path: ``TrackConfig(in_kernel_scan=True)`` routes
 ``track.scan.track_block`` — and therefore the ``Receiver`` — through
-this kernel (181x real time at 32 channels on v5e; ~7100 channels in
-real time at the 256-channel operating point; SCALING.md §1).  The
-``lax.scan``-of-steps path remains the CPU/reference backend.
+this kernel (v2 measured 181x real time at 32 channels on v5e;
+SCALING.md §1 carries the current numbers).  The ``lax.scan``-of-steps
+path remains the CPU/reference backend.
 This kernel moves the *entire* loop — code NCO, carrier wipe-off, E/P/L
 correlation, DLL/Costas-PLL/FLL, false-lock watchdog, SNR estimator and
 bit sync (tracking.c:92-393 + nav_data.c:46-138 equivalents) — into a
@@ -12,45 +12,62 @@ single ``pallas_call`` with ``grid=(T/EPB,)``:
 
 * the epoch stream is auto-DMA'd HBM→VMEM by the Pallas pipeline
   (BlockSpec index_map over the grid) — compute overlaps the fetch of
-  the next block, which the scan-of-kernels structure cannot do; EPB
-  epochs run per grid step under an in-kernel ``fori_loop`` because the
-  per-step overhead (~3 us) would otherwise dominate the ~1.5 us of
-  real per-epoch work;
+  the next block; EPB epochs run per grid step under an in-kernel
+  ``fori_loop`` because the per-step overhead (~3 us) would otherwise
+  dominate the ~1.5 us of real per-epoch work;
 * ALL per-channel loop state lives in VMEM scratch as (field, C, 1)
   planes persisting across grid steps (TPU grid steps execute
   sequentially on a core), and every loop-filter update is a vector op
-  over the channel axis — v1's scalar per-channel ``fori_loop`` is gone;
-* the E/P/L replicas are cached in VMEM and re-rolled only when a
-  channel's integer half-chip shift M changes (every ~100+ epochs per
-  channel under normal code drift; a vectorized any-changed check skips
-  even the scalar scan loop on quiet epochs), amortizing the three
-  ``pltpu.roll``s of the doubled code that dominated v1;
+  over the channel axis;
+* **v3 replica path — the masked barrel shifter.**  v2 cached rolled
+  E/P/L replica rows and refreshed them through a per-channel scalar
+  ``fori_loop`` guarded by ``pl.when(any(changed))``; measured on v5e
+  that machinery was 3.4 of 5.5 us/epoch at 32 channels (62% — the
+  round-2 "scalar forest" attribution was actually this: the
+  constant-correlator ablation also froze the refresh dynamics).  v3
+  keeps one *base* window per channel (the doubled code left-rolled to
+  ``mc - 8``) and derives the exact E/P/L rows EVERY epoch with a
+  4-stage masked barrel: static left-rolls by 1/2/4/8 on the (C, WIN)
+  plane, each selected per channel by one bit of ``mc - base - 1``.
+  Fully vectorized, ~0.3 us unconditional, bit-exact (integer rolls
+  compose exactly), and the scalar rebuild loop only runs when a
+  channel drifts >15 half-chips from its base (hundreds of epochs, or
+  an acquisition handoff);
 * the carrier cos/sin ramp — the most expensive VPU op in the kernel —
   is cached per channel (PallasScanState.ramp/.dref, carried state so
   resume stays bit-exact) and rebuilt only when a channel's Doppler
   drifts >8 Hz from its cached value; per epoch the cached ramp gets a
   2nd-order residual-frequency correction (~2e-5 rad max error) plus an
   exact scalar phase rotation;
-* per-epoch observables stream out through an (EPB, C, NOUT) VMEM block.
+* scalar-sized transcendentals are polynomial: the per-epoch (C, 1)
+  carrier-phase cos/sin uses a quadrant-reduced Taylor kernel and the
+  SNR log uses an exponent-split atanh series — tiny-vector
+  ``jnp.cos``/``jnp.sin``/``jnp.log`` each cost 100-200 ns of fixed
+  latency on the VPU (tools/forest_probe2.py), the polynomials a few ns;
+* the bit-sync/watchdog epoch remainders are carried incrementally
+  (integer mod has no TPU hardware unit — ~24 ns per ``irem``);
+* per-epoch observables are stacked along the SUBLANE axis into an
+  (EPB, NOUT, C, 1) output block — lane-axis concatenation of the
+  NOUT pieces measured +172 ns/epoch, the sublane stack is free.
 
-v2 closes v1's documented scope cuts: the SNR estimator
-(tracking.c:147-169) runs in-kernel, the coherent-bit-vote and
-20 ms coherent-PLL modes (TrackConfig.coherent_bit_vote/coherent_pll)
-are implemented, the watchdog window length follows
-``cfg.pll_check_window`` (no longer pinned to 4), the watchdog kick
-jitter uses the same integer-exact LCG as the production scan, and the
-epoch counter is per-channel state (late-rise concat safe).  The only
-remaining numeric deltas vs track_epoch_step are the half-chip replica
-equivalence shared with ops.pallas_epl and the polynomial Costas
-discriminator (atan2 has no Mosaic lowering), both ~1e-5-level.
+Feature set matches v2: in-kernel SNR estimator (tracking.c:147-169),
+coherent-bit-vote and 20 ms coherent-PLL modes
+(TrackConfig.coherent_bit_vote/coherent_pll), watchdog window length
+from ``cfg.pll_check_window``, integer-exact watchdog kick LCG, and a
+per-channel epoch counter (late-rise concat safe).  The only remaining
+numeric deltas vs track_epoch_step are the half-chip replica
+equivalence shared with ops.pallas_epl, the polynomial Costas
+discriminator (atan2 has no Mosaic lowering), and the ~1e-7-level
+polynomial sincos/log, all far below the correlator noise floor.
 
 Validated against track_block in interpreter mode
 (tests/test_pallas_scan.py, including exact integer bit-sync
 agreement); Mosaic notes that shaped this design live in CLAUDE.md
 (scalar VMEM loads lower as 1-element vector.load + extract; no scalar
 stores to VMEM; SMEM takes scalar load/store; iota must be integer;
-unaligned dynamic lane slices are illegal — ``pltpu.roll`` handles the
-data-dependent code shifts).
+unaligned lane slices are illegal — ``pltpu.roll`` handles the
+data-dependent code shifts; static roll shifts must be non-negative,
+so a left-roll by s is spelled ``pltpu.roll(x, WIN - s)``).
 """
 
 from __future__ import annotations
@@ -79,10 +96,11 @@ _I32_FIELDS = (
 )
 NF32 = len(_F32_FIELDS)
 NI32 = len(_I32_FIELDS)
-# per-epoch output slots (lane axis of the (1, C, NOUT) output block):
-# 0 ip, 1 qp, 2 code_phase (epoch start), 3 doppler (updated),
+# per-epoch output slots (SUBLANE axis of the (EPB, NOUT, C, 1) output
+# block): 0 ip, 1 qp, 2 code_phase (epoch start), 3 doppler (updated),
 # 4 bit_ready, 5 bit_value, 6 bit_epoch, 7 period_sync_ok,
-# 8 snr_db, 9 code_wrapped, 10 ie, 11 qe, 12 il, 13 ql, 14-15 spare
+# 8 snr_db, 9 code_wrapped, 10 ie, 11 qe, 12 il, 13 ql,
+# 14 phase_err, 15 spare
 NOUT = 16
 
 # carrier-ramp cache refresh threshold (Hz): the per-epoch 2nd-order
@@ -93,6 +111,16 @@ _RAMP_REFRESH_HZ = 8.0
 # DMA/synchronization overhead (~3 us measured at 1 epoch/step, 60% of
 # the step), so EPB epochs run per step under an in-kernel fori_loop
 EPB = 8
+# unroll the EPB loop (perf experiment knob, trace-time constant like
+# EPB — one value per process)
+UNROLL = False
+
+# replica base window: 2048 output lanes + one 128-lane tile of barrel
+# margin (max composed left-shift is 15 + 2 = 17 lanes)
+WIN = SP + 128
+# barrel range: e_shift = mc - base - 1 must stay in [0, _BARREL_SPAN];
+# the base is rebuilt at mc - 1 - _BARREL_SPAN // 2 when it leaves
+_BARREL_SPAN = 15
 
 
 def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
@@ -100,20 +128,35 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # PTS_ABLATE: perf-debug knob (tools/epb_probe.py) — strips one
-    # section so its device cost can be measured by difference.  NEVER
-    # set in production; values: "ramp" (skip the residual-frequency
+    # cfg.ablate: perf-debug knob (tools/epb_probe.py) — strips one
+    # section so its device cost can be measured by difference.  Part of
+    # the static jit key (TrackConfig field), so variants never collide
+    # in the jit cache (ADVICE r2: the old PTS_ABLATE env var was read
+    # at trace time and silently reused stale compilations).  NEVER set
+    # in production; values: "ramp" (skip the residual-frequency
     # correction), "wipeoff" (skip the carrier wipe-off entirely),
-    # "correlators" (E/P/L sums replaced by zeros).
-    import os as _os
-
-    ablate = _os.environ.get("PTS_ABLATE", "")
+    # "correlators" (E/P/L sums replaced by zeros), "nobarrel" (E/P/L
+    # taken unrolled from the base window — isolates the barrel cost),
+    # "freeze_ramp" (build the carrier ramp exactly once).
+    ablate = cfg.ablate
 
     fs = plan.sample_rate_hz
     cps = float(plan.chips_per_sample)
     cib = cfg.codes_in_bit
     two_pi = float(2.0 * np.pi)
     f32 = jnp.float32
+
+    # Worst-case half-chips of code-phase motion per epoch, from the
+    # DLL gains (|cerr| <= 1) plus Doppler-rate slack: bounds how far mc
+    # can drift inside one grid step, so the base-rebuild check can run
+    # once per STEP instead of per epoch (each any()->scalar sync costs
+    # ~140 ns).  The check itself is exact either way — the barrel
+    # reproduces E/P/L exactly for any in-range base.
+    _drift1 = 2.0 * ((cfg.dll_c1 * 2.0 + cfg.dll_c2 * cfg.dt_s)
+                     / cfg.fine_ratio + 1e-3)
+    _margin = int(np.ceil(EPB * _drift1))
+    # hoisting is valid only if a full step's drift fits the barrel span
+    _hoist_rebuild = _margin <= (_BARREL_SPAN - 1) // 2
 
     def costas_err(ip, qp):
         """atan2(qp*sign(ip), |ip|)/pi without atan2 (no Mosaic
@@ -133,6 +176,53 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
         a = jnp.where(ay > ax, np.pi / 2 - a, a)
         return jnp.sign(y) * a / np.pi
 
+    def sincos_cycles(ph):
+        """cos/sin of 2*pi*ph for tiny (C, 1) operands.
+
+        jnp.cos+jnp.sin cost ~200 ns of fixed VPU latency at this size
+        (tools/forest_probe2.py); quadrant reduction + Taylor to t^8/t^9
+        is ~25 cheap ops with error < 3e-7."""
+        v = 4.0 * (ph - jnp.round(ph))          # quarter-cycles in [-2, 2]
+        q = jnp.round(v)                         # {-2,-1,0,1,2}
+        t = (v - q) * f32(np.pi / 2.0)           # [-pi/4, pi/4]
+        t2 = t * t
+        c = f32(1.0 / 40320.0)
+        c = c * t2 - f32(1.0 / 720.0)
+        c = c * t2 + f32(1.0 / 24.0)
+        c = c * t2 - f32(0.5)
+        c = c * t2 + f32(1.0)
+        s = f32(1.0 / 362880.0)
+        s = s * t2 - f32(1.0 / 5040.0)
+        s = s * t2 + f32(1.0 / 120.0)
+        s = s * t2 - f32(1.0 / 6.0)
+        s = s * t2 + f32(1.0)
+        s = s * t
+        cq = jnp.where(q == 0, c,
+                       jnp.where(q == 1, -s, jnp.where(q == -1, s, -c)))
+        sq = jnp.where(q == 0, s,
+                       jnp.where(q == 1, c, jnp.where(q == -1, -c, -s)))
+        return cq, sq
+
+    def log_pos(x):
+        """Natural log of a positive normal f32 via exponent split +
+        atanh series (jnp.log costs ~100+ ns of fixed latency at (C,1);
+        this is ~15 cheap ops, error < 1e-7 relative)."""
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        e = jax.lax.shift_right_logical(bits, 23) - jnp.int32(127)
+        m = jax.lax.bitcast_convert_type(
+            (bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000), f32)
+        big = m > f32(1.4142135)
+        m = jnp.where(big, m * 0.5, m)
+        e = (e + big.astype(jnp.int32)).astype(f32)
+        u = (m - 1.0) / (m + 1.0)                # |u| <= 0.1716
+        u2 = u * u
+        p = f32(2.0 / 9.0)
+        p = p * u2 + f32(2.0 / 7.0)
+        p = p * u2 + f32(2.0 / 5.0)
+        p = p * u2 + f32(2.0 / 3.0)
+        p = p * u2 + f32(2.0)
+        return f32(np.log(2.0)) * e + u * p
+
     def wrap_half(x):
         return x - jnp.round(x)
 
@@ -143,13 +233,14 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
         s = seed_i32 * jnp.int32(1664525) + jnp.int32(1013904223)
         s = s ^ jax.lax.shift_right_logical(s, 16)
         s = s * jnp.int32(np.int64(2246822519) - (1 << 32))
-        return jax.lax.shift_right_logical(s, 8).astype(f32) / f32(1 << 24)
+        return jax.lax.shift_right_logical(s, 8).astype(f32) * f32(
+            1.0 / (1 << 24))
 
     def kernel(f32_init, i32_init, win_init, x_ref, u2_ref,
                ramp_init, dref_init,
                out_ref, f32_out, i32_out, win_out, ramp_out, dref_out,
-               f32_st, i32_st, win_st, rep_st, m_cache,
-               m_plane, ramp_st, dref):
+               f32_st, i32_st, win_st, base_st, b_plane,
+               rem_st, wcnt_st, ramp_st, dref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -160,9 +251,15 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 i32_st[i] = i32_init[i]
             for i in range(win_len):
                 win_st[i] = win_init[i]
-            for c in range(n_chan):
-                m_cache[c] = -1          # force replica fill on epoch 0
-            m_plane[0] = jnp.full((n_chan, 1), -1, jnp.int32)
+            # force a replica-base rebuild on epoch 0
+            b_plane[0] = jnp.full((n_chan, 1), -(2 ** 20), jnp.int32)
+            # incremental epoch remainders (integer mod is ~24 ns on the
+            # VPU — pay it once per kernel call, then carry): rem =
+            # (epoch - last_swap) mod codes_in_bit, wcnt = epoch mod
+            # watchdog window.  Recomputed exactly from carried state at
+            # every kernel entry, so resume stays bit-exact.
+            rem_st[0] = jnp.mod(i32_init[11] - i32_init[2], cib)
+            wcnt_st[0] = jnp.mod(i32_init[11], win_len)
             # carrier-ramp cache is CARRIED state (PallasScanState.ramp
             # / .dref): a resumed run must continue with the exact cache
             # the unbroken run would hold, or split-vs-full outputs
@@ -171,56 +268,55 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             ramp_st[1] = ramp_init[1]
             dref[0] = dref_init[0]
 
-        # ---- replica cache refresh (the only per-channel loop) ----------
-        # M = integer half-chip shift of the doubled upsampled code
-        # (ops.pallas_epl equivalence); it changes only when the code
-        # phase crosses a half-chip boundary, so the three rolls run
-        # rarely per channel.  The 32-iteration scalar loop itself is
-        # expensive even when no channel rolls, so a vectorized
-        # any-changed check (m_plane mirrors m_cache as a VMEM row —
-        # per-channel scalar VMEM stores are illegal, vector stores are
-        # fine) skips it entirely on most epochs.
-        def refresh_body(c, _):
+        # ---- replica-base rebuild (the only per-channel loop) ----------
+        # Runs only when a channel's integer half-chip shift mc leaves
+        # the barrel range of its base (>15 half-chips of drift, i.e.
+        # hundreds of epochs, a code wrap, or an acquisition handoff).
+        # Each rebuild re-centers EVERY channel's base window at
+        # mc - 1 - span/2.
+        def rebuild_body(c, _):
             cpc = f32_st[0, c, 0]
-            mc = jnp.floor(2.0 * cpc).astype(jnp.int32) % S
+            mc = jnp.floor(2.0 * cpc).astype(jnp.int32)
             mc = jnp.where(mc == 0, S, mc)
-
-            @pl.when(mc != m_cache[c])
-            def _():
-                row = u2_ref[pl.ds(c, 1), :]
-                rep_st[0, pl.ds(c, 1), :] = pltpu.roll(
-                    row, -(mc - 1), 1)[:, :SP]
-                rep_st[1, pl.ds(c, 1), :] = pltpu.roll(row, -mc, 1)[:, :SP]
-                rep_st[2, pl.ds(c, 1), :] = pltpu.roll(
-                    row, -(mc + 1), 1)[:, :SP]
-                m_cache[c] = mc
-
+            row = u2_ref[pl.ds(c, 1), :]
+            shift = mc - 1 - _BARREL_SPAN // 2
+            base_st[pl.ds(c, 1), :] = pltpu.roll(row, -shift, 1)[:, :WIN]
             return 0
+
+        if _hoist_rebuild:
+            # once per grid step: rebuild any base whose barrel shift
+            # could leave [0, span] within the next EPB epochs (margin
+            # from the DLL-gain drift bound above)
+            cp0 = f32_st[0]
+            mc0 = jnp.floor(2.0 * cp0).astype(jnp.int32)
+            mc0 = jnp.where(mc0 == 0, S, mc0)
+            es0 = mc0 - b_plane[0] - 1
+            es0 = jnp.where(es0 < -1023, es0 + S,
+                            jnp.where(es0 > 1023, es0 - S, es0))
+
+            @pl.when(jnp.any((es0 < _margin) |
+                             (es0 > _BARREL_SPAN - _margin)))
+            def _rebuild_bases_step():
+                jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
+                b_plane[0] = mc0 - 1 - _BARREL_SPAN // 2
 
         # ---- EPB epochs per grid step (amortizes per-step overhead) ----
         def epoch_body(ei, _):
             # trailing pad epochs (t_cnt not a multiple of EPB) are
             # skipped entirely: no state advance, output rows sliced off
             # (the pl.when predication is free on TPU — measured
-            # guard-vs-unguarded identical at 181x)
+            # guard-vs-unguarded identical)
             @pl.when(g * EPB + ei < t_cnt)
             def _valid_epoch():
                 # ---- whole-plane state loads (one ref op per plane;
-                # the [i] slices below are value-level — 60+ tiny (C, 1)
-                # ref reads/writes per epoch were part of the forest
-                # cost, ROADMAP §3) ----------------------------------
+                # the [i] slices below are value-level) ---------------
                 fS = f32_st[...]
                 iS = i32_st[...]
                 wS = win_st[...]
-                mc_vec = jnp.floor(2.0 * fS[0]).astype(jnp.int32) % S
-                mc_vec = jnp.where(mc_vec == 0, S, mc_vec)
+                rem = rem_st[0]        # (epoch - last_swap) mod cib
+                wcnt = wcnt_st[0]      # epoch mod pll_check_window
 
-                @pl.when(jnp.any(mc_vec != m_plane[0]))
-                def _refresh_replicas():
-                    jax.lax.fori_loop(0, n_chan, refresh_body, 0)
-                    m_plane[0] = mc_vec
-
-                # ---- vector state reads (value-level plane slices) ---------------
+                # ---- vector state reads (value-level plane slices) ----
                 cp = fS[0]
                 dop = fS[1]
                 ph = fS[2]
@@ -249,19 +345,71 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 wraps = iS[12]
                 in_sync = sync == 1
 
-                # ---- carrier wipe-off, all channels at once ----------------------
-                # cos/sin over (C, SP) are the single most expensive VPU ops in
-                # the kernel (~1.7 us/epoch measured), so the Doppler ramp
-                # e^{j*2pi*(dop/fs)*k} is cached per channel and re-built
-                # (vectorized, all channels at once) only when any channel's
-                # Doppler moved > _RAMP_REFRESH_HZ from its cached value.  Per
-                # epoch the cached ramp is corrected by the residual delta-f to
-                # SECOND order (max phase error x^3/6 ~ 2e-5 rad at 8 Hz —
-                # far below the correlator noise floor and the polynomial
-                # Costas error), then rotated by the scalar carrier phase.
+                # ---- replica rows via the masked barrel ---------------
+                # mc = integer half-chip shift of the doubled upsampled
+                # code (ops.pallas_epl equivalence); cp < 1023 so
+                # floor(2*cp) is already in [0, 2045] (no mod needed),
+                # with 0 aliased to S (lag 0 == lag 2046 in the doubled
+                # code).  The barrel runs unconditionally: caching its
+                # output behind an any(mc changed) guard measured SLOWER
+                # (3.64 vs 3.39 us/epoch at 32 channels — with the DLL
+                # dithering under noise, some channel crosses a
+                # half-chip boundary almost every epoch).
+                mc_vec = jnp.floor(2.0 * cp).astype(jnp.int32)
+                mc_vec = jnp.where(mc_vec == 0, S, mc_vec)
+
+                if not _hoist_rebuild:
+                    @pl.when(jnp.any((mc_vec - b_plane[0] - 1 < 0) |
+                                     (mc_vec - b_plane[0] - 1 > _BARREL_SPAN)))
+                    def _rebuild_bases():
+                        jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
+                        b_plane[0] = mc_vec - 1 - _BARREL_SPAN // 2
+
+                if ablate != "nobarrel":
+                    bw = base_st[...]              # (C, WIN)
+                    es = mc_vec - b_plane[0] - 1   # [0, 15] per chan
+                    # a code wrap makes mc jump by ±S (2046 -> 1); the
+                    # doubled code is periodic in S (u2[j] == u2[j+S]
+                    # everywhere — upsampled_code_doubled fills the full
+                    # row), so fold the jump back into barrel range
+                    es = jnp.where(es < -1023, es + S,
+                                   jnp.where(es > 1023, es - S, es))
+                    # left-roll by s == pltpu.roll(x, WIN - s) (static
+                    # shifts must be non-negative); each stage selected
+                    # per channel by one bit of es.  Rolls compose
+                    # exactly, so E/P/L match v2's dynamic rolls bit for
+                    # bit; junk wrapping in from the right edge stays in
+                    # lanes >= WIN-17, outside the [0, SP) slice.
+                    for sft in (1, 2, 4, 8):
+                        rolled = pltpu.roll(bw, WIN - sft, 1)
+                        bw = jnp.where((es & sft) != 0, rolled, bw)
+                    p_full = pltpu.roll(bw, WIN - 1, 1)
+                    rep_e = bw[:, :SP]
+                    rep_p = p_full[:, :SP]
+                    rep_l = pltpu.roll(p_full, WIN - 1, 1)[:, :SP]
+                else:
+                    rep_e = rep_p = rep_l = base_st[:, :SP]
+
+                # ---- carrier wipe-off, all channels at once -----------
+                # cos/sin over (C, SP) are the single most expensive VPU
+                # ops in the kernel (~1.7 us/epoch measured), so the
+                # Doppler ramp e^{j*2pi*(dop/fs)*k} is cached per channel
+                # and re-built (vectorized, all channels at once) only
+                # when any channel's Doppler moved > _RAMP_REFRESH_HZ
+                # from its cached value.  Per epoch the cached ramp is
+                # corrected by the residual delta-f to SECOND order (max
+                # phase error x^3/6 ~ 2e-5 rad at 8 Hz — far below the
+                # correlator noise floor and the polynomial Costas
+                # error), then rotated by the scalar carrier phase.
                 k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(f32)
 
-                @pl.when(jnp.any(jnp.abs(dop - dref[0]) > _RAMP_REFRESH_HZ))
+                ramp_cond = jnp.any(
+                    jnp.abs(dop - dref[0]) > _RAMP_REFRESH_HZ)
+                if ablate == "freeze_ramp":
+                    # build exactly once (epoch 0), cheap scalar predicate
+                    ramp_cond = (g == 0) & (ei == 0)
+
+                @pl.when(ramp_cond)
                 def _refresh_ramp():
                     a = (dop / fs) * k
                     a = a - jnp.floor(a)
@@ -279,8 +427,9 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     corr = 1.0 - 0.5 * xk * xk
                     cosd = rc * corr - xk * rs
                     sind = rs * corr + xk * rc
-                xr = x_ref[ei, 0:1, :]
-                xi = x_ref[ei, 1:2, :]
+                xv = x_ref[ei]                     # one dynamic load: (2, SP)
+                xr = xv[0:1, :]
+                xi = xv[1:2, :]
                 # wipe with the ramp only — the scalar carrier phase is
                 # applied AFTER the correlation sums (linearity): 12
                 # (C,1) mults replace four full (C,SP) VPU passes
@@ -291,45 +440,39 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     yr = xr * cosd + xi * sind
                     yi = xi * cosd - xr * sind
 
-                # ---- E/P/L correlations (lane reductions) ------------------------
-                # full-width jnp.sum over (C, SP) measured 0.5 us PER
-                # reduction (55% of the whole kernel for the six);
-                # tile-wise FMA accumulation over static 128-lane
-                # slices + ONE narrow (C, 128) reduce is ~3x cheaper
-                # The six mult+reduce sums are 55% of the kernel's
-                # device time (ablation-measured, ROADMAP §3); explicit
-                # 128-lane tile accumulation and a fused 6-way tile loop
-                # both compile to the IDENTICAL program as this plain
-                # form (Mosaic canonicalizes them) — keep the simple
-                # spelling
+                # ---- E/P/L correlations (lane reductions) -------------
                 if ablate == "correlators":
                     # one add+reduce keeps the wipeoff alive (no DCE of
                     # the upstream section) while dropping 6 mult+reduce
                     z = jnp.sum(yr + yi, axis=1, keepdims=True) * 0.0 + 1.0
                     ie_r = qe_r = ip_r = qp_r = il_r = ql_r = z
                 else:
-                    ie_r = jnp.sum(yr * rep_st[0], axis=1, keepdims=True)
-                    qe_r = jnp.sum(yi * rep_st[0], axis=1, keepdims=True)
-                    ip_r = jnp.sum(yr * rep_st[1], axis=1, keepdims=True)
-                    qp_r = jnp.sum(yi * rep_st[1], axis=1, keepdims=True)
-                    il_r = jnp.sum(yr * rep_st[2], axis=1, keepdims=True)
-                    ql_r = jnp.sum(yi * rep_st[2], axis=1, keepdims=True)
-                pc = jnp.cos(two_pi * ph)                     # (C,1): 32 els, cheap
-                ps = jnp.sin(two_pi * ph)
-                ie = ie_r * pc + qe_r * ps
-                qe = qe_r * pc - ie_r * ps
+                    ie_r = jnp.sum(yr * rep_e, axis=1, keepdims=True)
+                    qe_r = jnp.sum(yi * rep_e, axis=1, keepdims=True)
+                    ip_r = jnp.sum(yr * rep_p, axis=1, keepdims=True)
+                    qp_r = jnp.sum(yi * rep_p, axis=1, keepdims=True)
+                    il_r = jnp.sum(yr * rep_l, axis=1, keepdims=True)
+                    ql_r = jnp.sum(yi * rep_l, axis=1, keepdims=True)
+                pc, ps = sincos_cycles(ph)                    # (C,1) poly
                 ip = ip_r * pc + qp_r * ps
                 qp = qp_r * pc - ip_r * ps
-                il = il_r * pc + ql_r * ps
-                ql = ql_r * pc - il_r * ps
+                if cfg.emit_correlators:
+                    # E/L rotation is diagnostics-only: the DLL consumes
+                    # |E|^2 and |L|^2, which the scalar phase rotation
+                    # preserves exactly — skip 12 ops unless emitting
+                    ie = ie_r * pc + qe_r * ps
+                    qe = qe_r * pc - ie_r * ps
+                    il = il_r * pc + ql_r * ps
+                    ql = ql_r * pc - il_r * ps
+                else:
+                    ie = qe = il = ql = jnp.zeros_like(ip)
 
-                # ---- nav-bit edge-zone freeze (track_epoch_step) ------------------
-                rem_pred = jnp.mod(epoch - last_swap, cib)
-                edge = in_sync & ((rem_pred == 0) | (rem_pred == cib - 1))
+                # ---- nav-bit edge-zone freeze (track_epoch_step) ------
+                edge = in_sync & ((rem == 0) | (rem == cib - 1))
 
-                # ---- DLL (tracking.c:333-393) -------------------------------------
-                e2 = ie * ie + qe * qe
-                l2 = il * il + ql * ql
+                # ---- DLL (tracking.c:333-393) -------------------------
+                e2 = ie_r * ie_r + qe_r * qe_r
+                l2 = il_r * il_r + ql_r * ql_r
                 cerr_raw = -(e2 - l2) / jnp.maximum(e2 + l2, 1e-12)
                 cerr = jnp.where(edge, dll_prev, cerr_raw)
                 ddelta = jnp.where(
@@ -342,7 +485,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 nominal = cp + f32(cps) * S
                 wrapped_flag = jnp.abs(unwrapped - nominal) > (CODE_LENGTH / 2)
 
-                # ---- Costas PLL (tracking.c:175-209) -------------------------------
+                # ---- Costas PLL (tracking.c:175-209) ------------------
                 perr = costas_err(ip, qp)
                 c1 = jnp.where(in_sync, cfg.pll_narrow_c1, cfg.pll_wide_c1)
                 c2 = jnp.where(in_sync, cfg.pll_narrow_c2, cfg.pll_wide_c2)
@@ -350,7 +493,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     c1 * wrap_half(perr - pll_prev) + c2 * cfg.dt_s * perr
                 ) * f32(cfg.pll_scale)
 
-                # ---- FLL (tracking.c:214-256) --------------------------------------
+                # ---- FLL (tracking.c:214-256) -------------------------
                 fdiff = wrap_half(perr - fll_theta)
                 odiff = wrap_half(fdiff - fll_err)
                 fll_delta = jnp.where(
@@ -360,11 +503,10 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     0.0,
                 )
 
-                # ---- 20 ms coherent PLL (TrackConfig.coherent_pll) -----------------
+                # ---- 20 ms coherent PLL (TrackConfig.coherent_pll) ----
                 phase_err_store = perr
                 if cfg.coherent_pll:
-                    rem_now = jnp.mod(epoch - last_swap, cib)
-                    bit_done = in_sync & (rem_now < old_rem)
+                    bit_done = in_sync & (rem < old_rem)
                     perr_bit = costas_err(bit_ip, bit_qp)
                     dt_bit = cib * cfg.dt_s
                     pll_delta_bit = (
@@ -383,15 +525,14 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 new_ph = ph + dop * (S / fs)
                 new_ph = new_ph - jnp.floor(new_ph)
 
-                # ---- false-lock watchdog (tracking.c:261-327) -----------------------
+                # ---- false-lock watchdog (tracking.c:261-327) ---------
                 sgn = jnp.where(ip > 0, 1, -1)
                 # transitions of the POST-shift window [old[1:], sgn] — the
                 # (old[1] != old[0]) pair leaves the window this epoch
                 trans = (sgn != wS[win_len - 1]).astype(jnp.int32)
                 for i in range(2, win_len):
                     trans = trans + (wS[i] != wS[i - 1]).astype(jnp.int32)
-                wend = jnp.mod(epoch, cfg.pll_check_window) == (
-                    cfg.pll_check_window - 1)
+                wend = wcnt == (cfg.pll_check_window - 1)
                 bad = trans > 1
                 bad2 = jnp.where(
                     wend,
@@ -421,7 +562,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 bad2 = jnp.where(kick, 0, bad2)
                 master2 = jnp.where(kick, 0, master2)
 
-                # ---- SNR (tracking.c:147-169) ---------------------------------------
+                # ---- SNR (tracking.c:147-169) -------------------------
                 snr_i2 = snr_i + jnp.abs(ip)
                 snr_q2 = snr_q + jnp.abs(qp)
                 cnt2 = snr_cnt + 1
@@ -429,7 +570,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 inv_ln10 = float(10.0 / np.log(10.0))
                 snr_db2 = jnp.where(
                     snr_done,
-                    inv_ln10 * jnp.log(jnp.maximum(snr_i2, 1e-9)
+                    inv_ln10 * log_pos(jnp.maximum(snr_i2, 1e-9)
                                        / jnp.maximum(snr_q2, 1e-9)),
                     snr_db,
                 )
@@ -437,12 +578,11 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 snr_q2 = jnp.where(snr_done, 0.0, snr_q2)
                 cnt2 = jnp.where(snr_done, 0, cnt2)
 
-                # ---- bit sync (nav_data.c:46-138) -------------------------------------
+                # ---- bit sync (nav_data.c:46-138) ---------------------
                 flip = sgn != prev_sign
                 if cfg.coherent_bit_vote or cfg.coherent_pll:
                     flip = flip & ~in_sync
-                rem_at = jnp.mod(epoch - last_swap, cib)
-                on_grid = (rem_at <= 1) | (rem_at == cib - 1)
+                on_grid = (rem <= 1) | (rem == cib - 1)
                 rpc2 = jnp.where(
                     flip & on_grid, jnp.minimum(rpc + 1, 10),
                     jnp.where(flip, jnp.maximum(rpc - 1, 0), rpc),
@@ -454,7 +594,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     sync,
                 )
                 ls2 = jnp.where(flip, epoch, last_swap)
-                rem2 = jnp.mod(epoch - ls2, cib)
+                rem2 = jnp.where(flip, 0, rem)
                 boundary = (sync2 == 1) & (rem2 < old_rem)
                 votes = pos_cnt + neg_cnt
                 if cfg.coherent_bit_vote or cfg.coherent_pll:
@@ -472,7 +612,12 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 qp_sum2 = jnp.where(boundary, 0.0, bit_qp)
                 qp_sum2 = jnp.where(sync2 == 1, qp_sum2 + qp, qp_sum2)
 
-                # ---- state write-back: TWO stacked plane stores -------------------
+                # ---- incremental remainder carries --------------------
+                rem_st[0] = jnp.where(rem2 + 1 == cib, 0, rem2 + 1)
+                wcnt_st[0] = jnp.where(
+                    wcnt + 1 == cfg.pll_check_window, 0, wcnt + 1)
+
+                # ---- state write-back: TWO stacked plane stores -------
                 # (field order must match _F32_FIELDS/_I32_FIELDS;
                 # acq_doppler is per-epoch constant and written back)
                 f32_st[...] = jnp.stack([
@@ -484,18 +629,28 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     rem2, p2, n2, bad2, master2, cnt2, epoch + 1,
                     wraps + wrapped_flag.astype(jnp.int32)])
 
-                fz = jnp.zeros_like(ip)
-                out_ref[ei] = jnp.concatenate([
-                    ip, qp, cp, new_dop,
-                    bit_ready.astype(f32), bit_val.astype(f32),
-                    bit_epoch.astype(f32), sync2.astype(f32),
-                    snr_db2, wrapped_flag.astype(f32),
-                    ie, qe, il, ql, phase_err_store, fz,
-                ], axis=1)
+                # ---- output: sublane-axis stack (lane concat of the 16
+                # pieces measured +172 ns/epoch; this is free) ----------
+                if ablate != "noout":
+                    out_ref[ei] = jnp.stack([
+                        ip, qp, cp, new_dop,
+                        bit_ready.astype(f32), bit_val.astype(f32),
+                        bit_epoch.astype(f32), sync2.astype(f32),
+                        snr_db2, wrapped_flag.astype(f32),
+                        ie, qe, il, ql, phase_err_store,
+                        jnp.zeros_like(ip),
+                    ])
 
             return 0
 
-        jax.lax.fori_loop(0, EPB, epoch_body, 0)
+        if UNROLL:
+            # static epoch indices (x_ref/out_ref dynamic-index ops cost
+            # ~73 ns each) and cross-epoch instruction scheduling, at
+            # the price of an 8x larger kernel body to compile
+            for _ei in range(EPB):
+                epoch_body(_ei, 0)
+        else:
+            jax.lax.fori_loop(0, EPB, epoch_body, 0)
 
         @pl.when(g == -(-t_cnt // EPB) - 1)
         def _store_state():
@@ -517,7 +672,9 @@ class PallasScanState(NamedTuple):
     (row order = _F32_FIELDS / _I32_FIELDS), the watchdog sign window
     (W, C, 1), and the carrier-ramp cache (ramp (2, C, SP) cos/sin of
     the per-channel Doppler ramp, dref (1, C, 1) the Doppler each ramp
-    row was built at — carried so resume is bit-exact)."""
+    row was built at — carried so resume is bit-exact).  The replica
+    base windows are NOT carried: the barrel reconstruction is exact,
+    so a rebuild at kernel entry reproduces identical correlators."""
 
     f32: jnp.ndarray
     i32: jnp.ndarray
@@ -610,7 +767,7 @@ def pallas_track_scan(
 ):
     """Run T epochs fully in-kernel.
 
-    Returns ``(new_state, outs)`` with outs (T, C, NOUT) float32 — slot
+    Returns ``(new_state, outs)`` with outs (T, NOUT, C) float32 — slot
     layout documented at NOUT above.  ``start_epoch`` is accepted for
     API compatibility but ignored: the epoch counter is per-channel
     kernel state (PallasScanState.i32 row 'epoch')."""
@@ -666,7 +823,7 @@ def pallas_track_scan(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((EPB, c, NOUT), lambda t: (t, 0, 0),
+            pl.BlockSpec((EPB, NOUT, c, 1), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NF32, c, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -680,7 +837,7 @@ def pallas_track_scan(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, c, NOUT), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, NOUT, c, 1), jnp.float32),
             jax.ShapeDtypeStruct((NF32, c, 1), jnp.float32),
             jax.ShapeDtypeStruct((NI32, c, 1), jnp.int32),
             jax.ShapeDtypeStruct((win_len, c, 1), jnp.int32),
@@ -691,29 +848,30 @@ def pallas_track_scan(
             pltpu.VMEM((NF32, c, 1), jnp.float32),
             pltpu.VMEM((NI32, c, 1), jnp.int32),
             pltpu.VMEM((win_len, c, 1), jnp.int32),
-            pltpu.VMEM((3, c, SP), jnp.float32),
-            pltpu.SMEM((c,), jnp.int32),
-            pltpu.VMEM((1, c, 1), jnp.int32),      # m_plane (vector mirror)
+            pltpu.VMEM((c, WIN), jnp.float32),     # replica base windows
+            pltpu.VMEM((1, c, 1), jnp.int32),      # base shift b_plane
+            pltpu.VMEM((1, c, 1), jnp.int32),      # incremental bit rem
+            pltpu.VMEM((1, c, 1), jnp.int32),      # incremental wd count
             pltpu.VMEM((2, c, SP), jnp.float32),   # carrier ramp cache
             pltpu.VMEM((1, c, 1), jnp.float32),    # cached ramp doppler
         ],
-        # per-channel VMEM residency (replica + ramp caches + u2 block,
-        # ~90 KB/channel) exceeds Mosaic's default 16 MB scoped limit
-        # above ~100 channels; v5e has 128 MB VMEM — raise the cap so
-        # channel capacity is hardware-limited (~1000 ch), not
-        # default-limited
+        # per-channel VMEM residency (base windows + ramp cache + u2
+        # block, ~60 KB/channel) exceeds Mosaic's default 16 MB scoped
+        # limit above ~200 channels; v5e has 128 MB VMEM — raise the cap
+        # so channel capacity is hardware-limited, not default-limited
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(state.f32, state.i32, state.win, x, u2, state.ramp, state.dref)
     new_state = PallasScanState(f32=f32_out, i32=i32_out, win=win_out,
                                 ramp=ramp_out, dref=dref_out)
+    out = out[..., 0]                              # (t_pad, NOUT, c)
     if c != c_real:
         new_state = PallasScanState(
             f32=f32_out[:, :c_real], i32=i32_out[:, :c_real],
             win=win_out[:, :c_real], ramp=ramp_out[:, :c_real],
             dref=dref_out[:, :c_real])
-        return new_state, out[:t_cnt, :c_real]
+        return new_state, out[:t_cnt, :, :c_real]
     return new_state, out[:t_cnt]
 
 
@@ -735,22 +893,22 @@ def track_block_pallas(
     )
     new_state = state_to_track_state(ps2)
     if cfg.emit_correlators:
-        diag = dict(ie=out[:, :, 10], qe=out[:, :, 11],
-                    il=out[:, :, 12], ql=out[:, :, 13])
+        diag = dict(ie=out[:, 10], qe=out[:, 11],
+                    il=out[:, 12], ql=out[:, 13])
     else:
         z = jnp.zeros((0,), jnp.float32)
         diag = dict(ie=z, qe=z, il=z, ql=z)
     outs = TrackOutputs(
-        ip=out[:, :, 0],
-        qp=out[:, :, 1],
+        ip=out[:, 0],
+        qp=out[:, 1],
         **diag,
-        code_phase_chips=out[:, :, 2],
-        doppler_hz=out[:, :, 3],
-        snr_db=out[:, :, 8],
-        bit_ready=out[:, :, 4] > 0.5,
-        bit_value=out[:, :, 5].astype(jnp.int8),
-        bit_epoch=out[:, :, 6].astype(jnp.int32),
-        period_sync_ok=out[:, :, 7] > 0.5,
-        code_wrapped=out[:, :, 9] > 0.5,
+        code_phase_chips=out[:, 2],
+        doppler_hz=out[:, 3],
+        snr_db=out[:, 8],
+        bit_ready=out[:, 4] > 0.5,
+        bit_value=out[:, 5].astype(jnp.int8),
+        bit_epoch=out[:, 6].astype(jnp.int32),
+        period_sync_ok=out[:, 7] > 0.5,
+        code_wrapped=out[:, 9] > 0.5,
     )
     return new_state, outs

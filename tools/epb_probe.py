@@ -50,10 +50,11 @@ def log(m):
 epb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 block_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 n_chan = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+ablate = sys.argv[4] if len(sys.argv) > 4 else ""
 pts.EPB = epb
 coh = os.environ.get("PROBE_COHERENT") == "1"
 log(f"EPB={epb} block_epochs={block_epochs} n_chan={n_chan} "
-    f"coherent={coh}")
+    f"coherent={coh} ablate={ablate!r}")
 
 plan = BASEBAND_PLAN
 if coh:
@@ -61,6 +62,12 @@ if coh:
     cfg = COHERENT_TRACK
 else:
     cfg = TrackConfig()
+if ablate == "unroll":
+    pts.UNROLL = True
+    ablate = ""
+elif ablate:
+    import dataclasses
+    cfg = dataclasses.replace(cfg, ablate=ablate)
 prns = [(i % 32) + 1 for i in range(n_chan)]
 table_np = ca_table_bipolar(prns)
 rng = np.random.default_rng(0)
