@@ -2,7 +2,8 @@
 
 THE production TPU path: ``TrackConfig(in_kernel_scan=True)`` routes
 ``track.scan.track_block`` — and therefore the ``Receiver`` — through
-this kernel (v2 measured 181x real time at 32 channels on v5e;
+this kernel (v3 measured 313.6x real time at 32 channels / 13.4k
+channel-ms/ms aggregate at 256 on v5e, vs v2's 181x / 7.1k;
 SCALING.md §1 carries the current numbers).  The ``lax.scan``-of-steps
 path remains the CPU/reference backend.
 This kernel moves the *entire* loop — code NCO, carrier wipe-off, E/P/L
@@ -29,10 +30,14 @@ single ``pallas_call`` with ``grid=(T/EPB,)``:
   ``mc - 8``) and derives the exact E/P/L rows EVERY epoch with a
   4-stage masked barrel: static left-rolls by 1/2/4/8 on the (C, WIN)
   plane, each selected per channel by one bit of ``mc - base - 1``.
-  Fully vectorized, ~0.3 us unconditional, bit-exact (integer rolls
-  compose exactly), and the scalar rebuild loop only runs when a
-  channel drifts >15 half-chips from its base (hundreds of epochs, or
-  an acquisition handoff);
+  Fully vectorized, ~0.95 us unconditional at 32 channels (vs 3.4 for
+  the v2 machinery), bit-exact (integer rolls compose exactly; code
+  wraps fold back via the doubled code's S-periodicity), and the scalar
+  rebuild loop runs only when a channel nears the edge of its base's
+  span — that check is hoisted to once per grid step under a
+  DLL-gain-derived drift bound (each ``any()``→scalar sync costs
+  ~140 ns).  An int8 barrel mirror was tried and REJECTED: Mosaic has
+  no non-32-bit ``tpu.dynamic_rotate`` lowering;
 * the carrier cos/sin ramp — the most expensive VPU op in the kernel —
   is cached per channel (PallasScanState.ramp/.dref, carried state so
   resume stays bit-exact) and rebuilt only when a channel's Doppler
@@ -366,7 +371,6 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                         b_plane[0] = mc_vec - 1 - _BARREL_SPAN // 2
 
                 if ablate != "nobarrel":
-                    bw = base_st[...]              # (C, WIN)
                     es = mc_vec - b_plane[0] - 1   # [0, 15] per chan
                     # a code wrap makes mc jump by ±S (2046 -> 1); the
                     # doubled code is periodic in S (u2[j] == u2[j+S]
@@ -380,6 +384,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     # exactly, so E/P/L match v2's dynamic rolls bit for
                     # bit; junk wrapping in from the right edge stays in
                     # lanes >= WIN-17, outside the [0, SP) slice.
+                    bw = base_st[...]          # (C, WIN) f32
                     for sft in (1, 2, 4, 8):
                         rolled = pltpu.roll(bw, WIN - sft, 1)
                         bw = jnp.where((es & sft) != 0, rolled, bw)
@@ -875,23 +880,10 @@ def pallas_track_scan(
     return new_state, out[:t_cnt]
 
 
-def track_block_pallas(
-    state: TrackState,
-    epochs: jnp.ndarray,
-    u2: jnp.ndarray,
-    plan: SignalPlan,
-    cfg: TrackConfig,
-    interpret: bool = False,
-):
-    """Drop-in for track.scan.track_block running the in-kernel scan.
-
-    Same signature contract: ``(final TrackState, TrackOutputs with
-    (T, C) leaves)``.  E/L diagnostics honour cfg.emit_correlators."""
-    ps = state_from_track_state(state)
-    ps2, out = pallas_track_scan(
-        ps, epochs, u2, 0, plan=plan, cfg=cfg, interpret=interpret
-    )
-    new_state = state_to_track_state(ps2)
+def outputs_from_raw(out: jnp.ndarray, cfg: TrackConfig) -> TrackOutputs:
+    """Unpack the kernel's raw (T, NOUT, C) stream into TrackOutputs
+    (shared by track_block_pallas and the receiver's carried-state
+    track+digest program)."""
     if cfg.emit_correlators:
         diag = dict(ie=out[:, 10], qe=out[:, 11],
                     il=out[:, 12], ql=out[:, 13])
@@ -911,4 +903,28 @@ def track_block_pallas(
         period_sync_ok=out[:, 7] > 0.5,
         code_wrapped=out[:, 9] > 0.5,
     )
-    return new_state, outs
+    return outs
+
+
+def track_block_pallas(
+    state: TrackState,
+    epochs: jnp.ndarray,
+    u2: jnp.ndarray,
+    plan: SignalPlan,
+    cfg: TrackConfig,
+    interpret: bool = False,
+):
+    """Drop-in for track.scan.track_block running the in-kernel scan.
+
+    Same signature contract: ``(final TrackState, TrackOutputs with
+    (T, C) leaves)``.  E/L diagnostics honour cfg.emit_correlators.
+    Note the PallasScanState (and its carrier-ramp cache) is rebuilt
+    from the TrackState on every call here; callers that keep the state
+    between blocks should carry the PallasScanState itself — the
+    Receiver's in-kernel digest path does (runtime.receiver
+    _track_and_digest_carried)."""
+    ps = state_from_track_state(state)
+    ps2, out = pallas_track_scan(
+        ps, epochs, u2, 0, plan=plan, cfg=cfg, interpret=interpret
+    )
+    return state_to_track_state(ps2), outputs_from_raw(out, cfg)

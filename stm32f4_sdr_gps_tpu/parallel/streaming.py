@@ -107,6 +107,19 @@ class StreamingTracker:
         self.mesh = mesh
         self.plan = plan
         self.cfg = cfg
+        # the WHOLE mesh (time axis included) acts as one channel axis
+        # for tracking — time cannot shard a 1 ms feedback loop.  A
+        # non-divisible channel count would otherwise surface as a
+        # cryptic shard_map partitioning error (advisor finding r2).
+        n_chan = int(np.shape(code_table)[0])
+        n_dev = int(mesh.devices.size)
+        if n_chan % n_dev:
+            raise ValueError(
+                f"StreamingTracker: {n_chan} channels do not divide over "
+                f"the {n_dev}-device mesh (all mesh axes shard the "
+                f"channel axis); pad the channel set to a multiple — "
+                f"MeshReceiver.start_tracking shows the ghost-channel "
+                f"pattern")
         self.state = shard_track_state(state, mesh)
         self.code_table = shard_code_table(jnp.asarray(code_table), mesh)
 
@@ -162,3 +175,45 @@ class StreamingTracker:
         )
         self.state, outs = fn(self.state, self.code_table, epochs)
         return outs
+
+    def process_digest(self, samples: np.ndarray, cfg_recv):
+        """Advance one block AND reduce it to a BlockDigest per channel
+        shard — the mesh form of runtime._track_and_digest.
+
+        Each device digests its own channel subset inside the shard_map
+        (the digest is channel-independent), so the only device→host
+        traffic a consumer needs is the ~kB of gathered digest leaves —
+        never the (T, C) outputs.  Works for both the jnp scan and the
+        in-kernel Pallas backend (cfg.in_kernel_scan)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..runtime.digest import digest_block
+
+        s = self.plan.samples_per_epoch
+        n = len(samples) // s
+        epochs = jnp.asarray(samples[: n * s].reshape(n, s), jnp.complex64)
+        axes = tuple(self.mesh.axis_names)
+
+        def local(st, tbl, ep):
+            st2, outs = track_block(st, ep, tbl, self.plan, self.cfg)
+            return st2, digest_block(outs, self.cfg,
+                                     cfg_recv.code_filter_len,
+                                     cfg_recv.enable_code_filter)
+
+        def lead_spec(x):
+            return P(axes, *([None] * (x.ndim - 1)))
+
+        st_specs = jax.tree.map(lead_spec, self.state)
+        _, d_shapes = jax.eval_shape(local, self.state, self.code_table,
+                                     epochs)
+        d_specs = jax.tree.map(
+            lambda x: P(None, axes) if x.ndim == 2 else P(axes), d_shapes)
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(st_specs, P(axes, None), P(None, None)),
+            out_specs=(st_specs, d_specs),
+            check_vma=False,
+        )
+        self.state, d = fn(self.state, self.code_table, epochs)
+        return d

@@ -71,6 +71,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.sdr_ring_push.restype = ctypes.c_int64
     lib.sdr_ring_pop.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
     lib.sdr_ring_pop.restype = ctypes.c_int64
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i32a = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.fw_rx_run.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i8p, i32a, ctypes.c_int32, i32p,
+        f32p, f32p, i32a, ctypes.c_int32, i32p,
+        i32p, i32p, i32p, i32p,
+    ]
+    lib.fw_rx_run.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -119,6 +128,54 @@ def correlate_1bit_oracle(data_i: np.ndarray, data_q: np.ndarray,
         len(prn), offset, ctypes.byref(si), ctypes.byref(sq),
     )
     return si.value, sq.value
+
+
+def firmware_receiver_run(words: np.ndarray, prn: int,
+                          doppler_hint_hz: int):
+    """Run the firmware-semantics single-channel 1-bit receiver
+    (native/firmware_rx.cpp — acquisition, pre-track, TDM tracking,
+    bit extraction with the reference's exact numerics) over a packed
+    uint16 wire-format capture.  Returns a dict of nav bits / loop
+    trajectories / milestones, or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint16)
+    n_ms = len(words) // 1023
+    byts = words[: n_ms * 1023].view(np.uint8)
+    bit_cap = int(n_ms // 20 + 4)
+    traj_cap = int(n_ms // 17 + 4)
+    bits = np.zeros(bit_cap, np.int8)
+    bit_times = np.zeros(bit_cap, np.int32)
+    cp = np.zeros(traj_cap, np.float32)
+    dop = np.zeros(traj_cap, np.float32)
+    tt = np.zeros(traj_cap, np.int32)
+    n_bits = ctypes.c_int32()
+    n_traj = ctypes.c_int32()
+    acq_cp = ctypes.c_int32()
+    track_ms = ctypes.c_int32()
+    sync_ms = ctypes.c_int32()
+    n_sf = ctypes.c_int32()
+    rc = lib.fw_rx_run(
+        np.ascontiguousarray(byts), n_ms, prn, int(doppler_hint_hz),
+        bits, bit_times, bit_cap, ctypes.byref(n_bits),
+        cp, dop, tt, traj_cap, ctypes.byref(n_traj),
+        ctypes.byref(acq_cp), ctypes.byref(track_ms),
+        ctypes.byref(sync_ms), ctypes.byref(n_sf),
+    )
+    nb, nt = n_bits.value, n_traj.value
+    return dict(
+        tracking=rc == 0,
+        bits=bits[:nb],
+        bit_times=bit_times[:nb],
+        code_phase_fine=cp[:nt],
+        doppler_hz=dop[:nt],
+        traj_times=tt[:nt],
+        acq_code_phase_halfchips=acq_cp.value,
+        track_start_ms=track_ms.value,
+        sync_ms=sync_ms.value,
+        subframes=n_sf.value,
+    )
 
 
 class NativeRing:

@@ -58,6 +58,31 @@ def _track_and_digest(state, epochs, code_table, plan, cfg,
                                enable_code_filter)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "cfg", "code_filter_len",
+                     "enable_code_filter"),
+)
+def _track_and_digest_carried(ps, epochs, code_table, plan, cfg,
+                              code_filter_len, enable_code_filter):
+    """In-kernel-scan variant of _track_and_digest that takes and
+    returns the kernel's own PallasScanState, so the carrier-ramp cache
+    (and every other carried plane) survives block boundaries instead of
+    being rebuilt from the TrackState each call (advisor finding r2).
+    Also returns the TrackState view for the host-side channel logic."""
+    from ..ops.pallas_track_scan import (
+        outputs_from_raw,
+        pallas_track_scan,
+        state_to_track_state,
+    )
+
+    ps2, raw = pallas_track_scan(ps, epochs, code_table, 0, plan=plan,
+                                 cfg=cfg, interpret=cfg.pallas_interpret)
+    outs = outputs_from_raw(raw, cfg)
+    return ps2, state_to_track_state(ps2), digest_block(
+        outs, cfg, code_filter_len, enable_code_filter)
+
+
 @dataclass
 class ChannelStatus:
     """Host-side per-channel bookkeeping (the gps_ch_t role)."""
@@ -162,6 +187,11 @@ class Receiver:
         self._status_cb = None
         self._ip_hist: Optional[np.ndarray] = None
         self._ip_hist_start = 0
+        # carried in-kernel-scan state (ramp cache etc.); valid only
+        # while track_state IS _pallas_carry_ref (identity check —
+        # any mutation builds a new NamedTuple and invalidates it)
+        self._pallas_carry = None
+        self._pallas_carry_ref = None
         self._aided_low_conf = np.zeros(0, int)
         self._pending_phase = np.full(0, -1)
         self._pending_cnt = np.zeros(0, int)
@@ -283,10 +313,31 @@ class Receiver:
             with self.profiler.stage(
                 "track", budget_s=n_epochs * 1e-3
             ).time():
-                self.track_state, d = _track_and_digest(
-                    self.track_state, epochs, self.code_table, cfg.plan,
-                    cfg.track, cfg.code_filter_len, cfg.enable_code_filter
-                )
+                if cfg.track.in_kernel_scan:
+                    # carry the kernel's own PallasScanState between
+                    # blocks (ramp cache included); any host-side
+                    # mutation of track_state replaces the NamedTuple,
+                    # so the identity check invalidates the carry
+                    from ..ops.pallas_track_scan import (
+                        state_from_track_state,
+                    )
+
+                    ps = (self._pallas_carry
+                          if self.track_state is self._pallas_carry_ref
+                          else state_from_track_state(self.track_state))
+                    ps, ts, d = _track_and_digest_carried(
+                        ps, epochs, self.code_table, cfg.plan, cfg.track,
+                        cfg.code_filter_len, cfg.enable_code_filter
+                    )
+                    self.track_state = ts
+                    self._pallas_carry = ps
+                    self._pallas_carry_ref = ts
+                else:
+                    self.track_state, d = _track_and_digest(
+                        self.track_state, epochs, self.code_table,
+                        cfg.plan, cfg.track, cfg.code_filter_len,
+                        cfg.enable_code_filter
+                    )
             with self.profiler.stage("decode").time():
                 self._consume_digest(d, n_epochs)
             self.epoch_cursor += n_epochs

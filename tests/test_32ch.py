@@ -174,3 +174,68 @@ def test_streaming_tracker_in_kernel_scan(capture):
     ref = np.concatenate([np.asarray(outs_ref.doppler_hz),
                           np.asarray(outs_ref2.doppler_hz)])
     np.testing.assert_allclose(dop, ref, rtol=0, atol=1e-4)
+
+
+def test_mesh_receiver_late_rise_and_drop():
+    """Dynamic channel set on the mesh: a PRN absent at cold start rises
+    mid-capture and joins via background re-acquisition
+    (reacquire_period_ms), with the device digest ACTIVE — the base
+    Receiver's maybe_reacquire/drop_dead_channels run on the un-padded
+    live state and the result is re-padded + re-sharded
+    (MeshReceiver._sync_live_from_tracker/_reshard_to_tracker)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from stm32f4_sdr_gps_tpu.config import ReceiverConfig
+    from stm32f4_sdr_gps_tpu.runtime.mesh_receiver import MeshReceiver
+    from stm32f4_sdr_gps_tpu.signal.simulator import SimSat, simulate_capture
+
+    CIB = 3
+    E = 3000
+    rise_epoch = 1200
+    sat_a = SimSat(prn=5, doppler_hz=1200.0, code_phase_chips=300.0,
+                   cn0_dbhz=47.0, codes_in_bit=CIB)
+    sat_b = SimSat(prn=18, doppler_hz=-2400.0, code_phase_chips=700.0,
+                   cn0_dbhz=47.0, codes_in_bit=CIB)
+    xa, _ = simulate_capture([sat_a], num_epochs=E, seed=31)
+    xb, truth_b = simulate_capture([sat_b], num_epochs=E, seed=32)
+    spe = PLAN.samples_per_epoch
+    xb[: rise_epoch * spe] = 0
+    x = xa + xb
+
+    cfg = ReceiverConfig(
+        prns=(5, 18),
+        track=TrackConfig(codes_in_bit=CIB, pll_bad_state_threshold=10**9),
+        enable_position=False,
+        track_block_epochs=250,
+        reacquire_period_ms=500,
+        device_digest=True,
+    )
+    mesh = make_mesh(time=2, chan=4)
+    rx = MeshReceiver(cfg, mesh)
+    assert rx._digest_active
+    report = rx.run(x)
+    by = {ch.prn: ch for ch in report.channels}
+    assert 5 in by and by[5].state_name == "TRACKING"
+    assert 18 in by, "late riser was never added on the mesh"
+    assert by[18].state_name == "TRACKING"
+    assert abs(by[18].doppler_hz + 2400.0) < 15.0
+    cp_true = truth_b.code_phase_at_epoch(0, report.epochs_processed - 1)
+    err = (by[18].code_phase_chips - cp_true + 511.5) % 1023 - 511.5
+    assert abs(err) < 0.5
+    assert not rx.standby_channels
+    # the tracker state must remain mesh-padded and sharded
+    n_dev = mesh.devices.size
+    n_tracked = int(rx.tracker.code_table.shape[0])
+    assert n_tracked % n_dev == 0 and rx._n_live == 2
+
+
+def test_streaming_tracker_rejects_indivisible_channels():
+    """A channel count that does not divide over the mesh fails with an
+    explanatory error, not a cryptic shard_map partitioning error."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(time=2, chan=4)
+    table = ca_table_bipolar([1, 2, 3])
+    state = init_state(3, np.zeros(3), np.zeros(3))
+    with pytest.raises(ValueError, match="3 channels do not divide"):
+        StreamingTracker(state, table, mesh, PLAN, TrackConfig())

@@ -154,8 +154,17 @@ def test_receiver_runs_on_in_kernel_scan():
         enable_position=False,
     )
     rx = Receiver(cfg)
+    assert rx._digest_active
     rx.run(x)
     assert len(rx.channels) == len(PRNS)
     for ch in rx.channels:
         assert ch.state_name == "TRACKING"
         assert ch.bit_count > 50, (ch.prn, ch.bit_count)
+    # the digest path carries the kernel's PallasScanState between
+    # blocks (ramp cache included) and keeps the TrackState view aliased
+    assert rx._pallas_carry is not None
+    assert rx.track_state is rx._pallas_carry_ref
+    # a host-side mutation of track_state invalidates the carry
+    rx.track_state = rx.track_state._replace(
+        doppler_hz=rx.track_state.doppler_hz + 1.0)
+    assert rx.track_state is not rx._pallas_carry_ref
