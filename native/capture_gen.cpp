@@ -361,6 +361,15 @@ int main(int argc, char **argv) {
   unsigned seed = 7;
   int repeats = 2;
   double lat_deg = 51.5, lon_deg = -0.1, h_m = 80.0;
+  // receiver-side RF impairments (all default off; independent
+  // implementation of the same effect classes as
+  // signal/simulator.Impairments — see that docstring for the physics)
+  double tcxo_ppm = 0.0, tcxo_drift = 0.0;   // fractional clock error
+  double pn_rad2_s = 0.0;                    // oscillator phase noise
+  double fe_bw_hz = 0.0;                     // IF band-pass bandwidth
+  double dc_offset = 0.0;                    // in noise sigmas
+  int mp_prn = 0;                            // two-ray multipath target
+  double mp_delay_chips = 0.0, mp_amp = 0.0, mp_phase = 0.0;
   for (int i = 1; i < argc - 1; ++i) {
     if (!std::strcmp(argv[i], "--out")) out_path = argv[++i];
     else if (!std::strcmp(argv[i], "--truth")) truth_path = argv[++i];
@@ -375,6 +384,23 @@ int main(int argc, char **argv) {
     else if (!std::strcmp(argv[i], "--lat")) lat_deg = std::atof(argv[++i]);
     else if (!std::strcmp(argv[i], "--lon")) lon_deg = std::atof(argv[++i]);
     else if (!std::strcmp(argv[i], "--height")) h_m = std::atof(argv[++i]);
+    else if (!std::strcmp(argv[i], "--tcxo-ppm"))
+      tcxo_ppm = std::atof(argv[++i]);
+    else if (!std::strcmp(argv[i], "--tcxo-drift-ppm-s"))
+      tcxo_drift = std::atof(argv[++i]);
+    else if (!std::strcmp(argv[i], "--phase-noise-rad2-s"))
+      pn_rad2_s = std::atof(argv[++i]);
+    else if (!std::strcmp(argv[i], "--frontend-bw-hz"))
+      fe_bw_hz = std::atof(argv[++i]);
+    else if (!std::strcmp(argv[i], "--dc-offset"))
+      dc_offset = std::atof(argv[++i]);
+    else if (!std::strcmp(argv[i], "--multipath")) {
+      // prn,delay_chips,amp,phase_cycles
+      int p = 0; double d = 0, a = 0, ph = 0;
+      if (std::sscanf(argv[++i], "%d,%lf,%lf,%lf", &p, &d, &a, &ph) == 4) {
+        mp_prn = p; mp_delay_chips = d; mp_amp = a; mp_phase = ph;
+      }
+    }
   }
 
   // ---- scenario: 4 satellites of one constellation shell ------------------
@@ -485,60 +511,121 @@ int main(int argc, char **argv) {
   const long long grid_chips =
       static_cast<long long>(n_bits) * cib * CODE_LEN;
 
+  // receiver TCXO: integrated fractional clock error (seconds of clock
+  // error after x seconds); a clock-fast receiver samples the field at
+  // true time T = t - tc(t) and its IF carries the extra -F_L1*tc(t)
+  // phase — folded below into an effective tau'(x) = tau(T(x)) + tc(x)
+  // so the existing quadratic-fit machinery applies unchanged
+  auto tcxo_int = [&](double x) {
+    return (tcxo_ppm * x + 0.5 * tcxo_drift * x * x) * 1e-6;
+  };
+  // oscillator phase-noise random walk, stepped per 1 ms chunk
+  double pn_cycles = 0.0;
+  const double pn_step = std::sqrt(pn_rad2_s * 1e-3) / (2.0 * M_PI);
+  // RBJ biquad band-pass centered on the IF (front-end band-limiting);
+  // only the shape matters ahead of a 1-bit quantizer
+  double fb1 = 0, fb2 = 0, fa1 = 0, fa2 = 0;  // coeffs
+  double fs1 = 0, fs2 = 0;                     // direct-form-II state
+  if (fe_bw_hz > 0) {
+    const double w0 = 2.0 * M_PI * F_IF / FS;
+    const double q_fact = F_IF / fe_bw_hz;
+    const double alpha = std::sin(w0) / (2.0 * q_fact);
+    const double a0 = 1.0 + alpha;
+    fb1 = alpha / a0;                 // b0 (= -b2), b1 = 0
+    fb2 = -alpha / a0;
+    fa1 = -2.0 * std::cos(w0) / a0;
+    fa2 = (1.0 - alpha) / a0;
+  }
+
   for (int ms = 0; ms < duration_ms; ++ms) {
     const double t0 = ms * 1e-3;
     std::fill(acc.begin(), acc.end(), 0.0);
+    if (pn_rad2_s > 0) pn_cycles += pn_step * gauss(rng);
     for (int i = 0; i < n_sat; ++i) {
+      // effective tau incl. the receiver clock error (see above)
+      auto taueff = [&](double x) {
+        const double tcv = tcxo_int(x);
+        return signal_delay(ephs[i], rr, t_gps0 + x - tcv) + tcv;
+      };
       // quadratic tau over the chunk
-      const double ta = signal_delay(ephs[i], rr, t_gps0 + t0);
-      const double tb = signal_delay(ephs[i], rr, t_gps0 + t0 + 0.5e-3);
-      const double tc = signal_delay(ephs[i], rr, t_gps0 + t0 + 1.0e-3);
+      const double ta = taueff(t0);
+      const double tb = taueff(t0 + 0.5e-3);
+      const double tc = taueff(t0 + 1.0e-3);
       const double h = 1e-3;
       const double B = (4.0 * tb - 3.0 * ta - tc) / h;
       const double Cq = 2.0 * (tc - 2.0 * tb + ta) / (h * h);
-      // phase in cycles: th(n) = th0 + th1*n + th2*n^2
-      const double th0 = F_IF * t0 - F_L1 * ta;
-      const double th1 = (F_IF - F_L1 * B) * dt;
-      const double th2 = -F_L1 * Cq * dt * dt;
-      // chips: q(n) = q0 + q1*n + q2*n^2
-      const double q0 = CHIP_RATE * (t0 - ta);
-      const double q1 = CHIP_RATE * (dt - B * dt);
-      const double q2 = -CHIP_RATE * Cq * dt * dt;
-      const double TWO_PI = 2.0 * M_PI;
-      double zr = std::cos(TWO_PI * th0), zi = std::sin(TWO_PI * th0);
-      double wr = std::cos(TWO_PI * (th1 + th2)),
-             wi = std::sin(TWO_PI * (th1 + th2));
-      const double ur = std::cos(TWO_PI * 2.0 * th2),
-                   ui = std::sin(TWO_PI * 2.0 * th2);
-      double cq = q0, cstep = q1 + q2;
-      const int8_t *code = codes[i].data();
-      const int8_t *nav = bits[i].data();
-      const long long bit_chips = static_cast<long long>(cib) * CODE_LEN;
-      for (int n = 0; n < spe; ++n) {
-        long long ci = static_cast<long long>(std::floor(cq));
-        ci %= grid_chips;
-        if (ci < 0) ci += grid_chips;
-        const int chip = code[ci % CODE_LEN];
-        const int bit = nav[ci / bit_chips];
-        const double d = bit ? -1.0 : 1.0;
-        acc[n] += amp * d * chip * zr;
-        // chirp and chip recurrences
-        const double nzr = zr * wr - zi * wi;
-        zi = zr * wi + zi * wr;
-        zr = nzr;
-        const double nwr = wr * ur - wi * ui;
-        wi = wr * ui + wi * ur;
-        wr = nwr;
-        cq += cstep;
-        cstep += 2.0 * q2;
+      // rays: direct + optional reflected copy (two-ray multipath)
+      const int n_rays = (PRNS[i] == mp_prn && mp_amp != 0.0) ? 2 : 1;
+      for (int ray = 0; ray < n_rays; ++ray) {
+        const double ray_tau = ray ? mp_delay_chips / CHIP_RATE : 0.0;
+        const double ray_amp = ray ? mp_amp : 1.0;
+        const double ray_ph = ray ? mp_phase : 0.0;
+        // phase in cycles: th(n) = th0 + th1*n + th2*n^2
+        const double th0 =
+            F_IF * t0 - F_L1 * (ta + ray_tau) + pn_cycles + ray_ph;
+        const double th1 = (F_IF - F_L1 * B) * dt;
+        const double th2 = -F_L1 * Cq * dt * dt;
+        // chips: q(n) = q0 + q1*n + q2*n^2
+        const double q0 = CHIP_RATE * (t0 - ta - ray_tau);
+        const double q1 = CHIP_RATE * (dt - B * dt);
+        const double q2 = -CHIP_RATE * Cq * dt * dt;
+        const double TWO_PI = 2.0 * M_PI;
+        double zr = std::cos(TWO_PI * th0), zi = std::sin(TWO_PI * th0);
+        double wr = std::cos(TWO_PI * (th1 + th2)),
+               wi = std::sin(TWO_PI * (th1 + th2));
+        const double ur = std::cos(TWO_PI * 2.0 * th2),
+                     ui = std::sin(TWO_PI * 2.0 * th2);
+        double cq = q0, cstep = q1 + q2;
+        const int8_t *code = codes[i].data();
+        const int8_t *nav = bits[i].data();
+        const long long bit_chips = static_cast<long long>(cib) * CODE_LEN;
+        const double a_ray = amp * ray_amp;
+        for (int n = 0; n < spe; ++n) {
+          long long ci = static_cast<long long>(std::floor(cq));
+          ci %= grid_chips;
+          if (ci < 0) ci += grid_chips;
+          const int chip = code[ci % CODE_LEN];
+          const int bit = nav[ci / bit_chips];
+          const double d = bit ? -1.0 : 1.0;
+          acc[n] += a_ray * d * chip * zr;
+          // chirp and chip recurrences
+          const double nzr = zr * wr - zi * wi;
+          zi = zr * wi + zi * wr;
+          zr = nzr;
+          const double nwr = wr * ur - wi * ui;
+          wi = wr * ui + wi * ur;
+          wr = nwr;
+          cq += cstep;
+          cstep += 2.0 * q2;
+        }
       }
     }
-    // noise, 1-bit quantization, LSB-first 16-bit packing
-    for (size_t w = 0; w < words.size(); ++w) {
-      uint16_t v = 0;
-      for (int b = 0; b < 16; ++b)
-        if (acc[w * 16 + b] + gauss(rng) >= 0.0) v |= (1u << b);
-      words[w] = v;
+    if (fe_bw_hz > 0 || dc_offset != 0.0) {
+      // signal+noise through the front-end filter, then DC, then sign
+      for (int n = 0; n < spe; ++n) {
+        double x = acc[n] + gauss(rng);
+        if (fe_bw_hz > 0) {
+          const double w = x - fa1 * fs1 - fa2 * fs2;
+          x = fb1 * w + fb2 * fs2;     // b1 == 0
+          fs2 = fs1;
+          fs1 = w;
+        }
+        acc[n] = x + dc_offset;
+      }
+      for (size_t w = 0; w < words.size(); ++w) {
+        uint16_t v = 0;
+        for (int b = 0; b < 16; ++b)
+          if (acc[w * 16 + b] >= 0.0) v |= (1u << b);
+        words[w] = v;
+      }
+    } else {
+      // noise, 1-bit quantization, LSB-first 16-bit packing
+      for (size_t w = 0; w < words.size(); ++w) {
+        uint16_t v = 0;
+        for (int b = 0; b < 16; ++b)
+          if (acc[w * 16 + b] + gauss(rng) >= 0.0) v |= (1u << b);
+        words[w] = v;
+      }
     }
     std::fwrite(words.data(), sizeof(uint16_t), words.size(), fo);
   }
@@ -558,6 +645,14 @@ int main(int argc, char **argv) {
                " \"week\": %d, \"tow0_6s\": %d, \"cib\": %d,"
                " \"duration_ms\": %d, \"cn0_dbhz\": %.1f,\n",
                week, tow0_6, cib, duration_ms, cn0_dbhz);
+  std::fprintf(ft,
+               " \"impairments\": {\"tcxo_ppm\": %.6f,"
+               " \"tcxo_drift_ppm_s\": %.6f, \"phase_noise_rad2_s\": %.6f,"
+               " \"frontend_bw_hz\": %.1f, \"dc_offset\": %.4f,"
+               " \"mp_prn\": %d, \"mp_delay_chips\": %.4f,"
+               " \"mp_amp\": %.4f, \"mp_phase_cycles\": %.4f},\n",
+               tcxo_ppm, tcxo_drift, pn_rad2_s, fe_bw_hz, dc_offset,
+               mp_prn, mp_delay_chips, mp_amp, mp_phase);
   std::fprintf(ft, " \"sats\": [\n");
   for (int i = 0; i < n_sat; ++i) {
     const Eph &e = ephs[i];

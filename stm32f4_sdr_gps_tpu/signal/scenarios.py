@@ -75,6 +75,8 @@ def fix_scenario(
     prns: Tuple[int, ...] = (2, 7, 15, 24),
     prefix_bits: int = 100,
     frame_repeats: int = 1,
+    impairments=None,
+    multipath: Dict[int, Tuple[float, float, float]] = None,
 ) -> FixScenario:
     """4-satellite capture with geometry-consistent TOFs and Dopplers.
 
@@ -119,12 +121,15 @@ def fix_scenario(
             rng_m, e = geodist(rs, rr_true)
             delay_s = rng_m / CLIGHT - dts[0]
         rdot = float(np.dot(rs[3:], e))
+        mp_d, mp_a, mp_p = (multipath or {}).get(prn, (0.0, 0.0, 0.0))
         sats.append(SimSat(
             prn=prn, doppler_hz=float(-rdot / lam_l1), cn0_dbhz=cn0_dbhz,
             nav_bits=bits, delay_ms=float(delay_s * 1000.0),
+            multipath_delay_chips=mp_d, multipath_amp=mp_a,
+            multipath_phase_cycles=mp_p,
         ))
         eph_map[prn] = eph
     samples, truth = simulate_capture(sats, num_epochs=num_epochs,
-                                      seed=seed)
+                                      seed=seed, impairments=impairments)
     return FixScenario(samples=samples, truth=truth, rr_true=rr_true,
                        eph_map=eph_map, prns=tuple(prns))

@@ -64,3 +64,36 @@ def test_weak_signal_cold_start_to_fix_32dbhz():
     assert report.solutions, "no position fix obtained"
     err = np.linalg.norm(report.solutions[-1].rr - sc.rr_true)
     assert err < 500.0, f"position error {err:.1f} m"
+
+
+@slow
+def test_cold_start_fix_under_rf_impairments():
+    """Cold start to fix on an RF-impaired capture (VERDICT r2
+    §missing-3 done-condition): ±2 ppm TCXO offset (∓3.15 kHz common
+    carrier shift + code-rate scaling), 0.003 ppm/s drift (~4.7 Hz/s
+    common chirp), 0.5 rad²/s oscillator phase noise, 1.8 MHz front-end
+    band-limiting, and 0.8-chip/0.3-amp two-ray multipath on two
+    satellites.  Documented tolerance: the multipath biases the two
+    affected pseudoranges by up to ~60 m, so the fix bound is 700 m
+    (clean-capture bound is 500 m)."""
+    from stm32f4_sdr_gps_tpu.signal.simulator import Impairments
+
+    imp = Impairments(
+        tcxo_offset_ppm=-2.0,
+        tcxo_drift_ppm_s=0.003,
+        phase_noise_rad2_s=0.5,
+        frontend_bw_hz=1.8e6,
+    )
+    sc = fix_scenario(
+        num_epochs=29_000,
+        impairments=imp,
+        multipath={2: (0.8, 0.3, 0.13), 15: (0.9, 0.3, 0.77)},
+    )
+    cfg = ReceiverConfig(prns=sc.prns, track_block_epochs=1000)
+    rx = Receiver(cfg)
+    report = rx.run(sc.samples)
+    for ch in report.channels:
+        assert ch.eph.has_full_set, ch.prn
+    assert report.solutions, "no position fix under impairments"
+    err = np.linalg.norm(report.solutions[-1].rr - sc.rr_true)
+    assert err < 700.0, f"position error {err:.1f} m"

@@ -146,3 +146,33 @@ def test_independent_capture_to_fix(tmp_path):
     rr_true = np.array(truth["rr_ecef"])
     err = np.linalg.norm(report.solutions[-1].rr - rr_true)
     assert err < 500.0, f"position error {err:.1f} m vs planted truth"
+
+
+def test_independent_capture_impaired_acquisition(tmp_path):
+    """The C++ generator's receiver-side impairments (its own
+    implementation, independent of signal/simulator.Impairments):
+    +2 ppm TCXO shifts every acquired Doppler by -2e-6*fL1 = -3150.8 Hz,
+    with band-limiting, phase noise and two-ray multipath applied —
+    acquisition must still find all four satellites at the APPARENT
+    Doppler and the planted code phase."""
+    signs, truth = _generate(
+        tmp_path, cib=20, duration_ms=60, cn0=48, seed=5, repeats=1,
+        tcxo_ppm=2.0, phase_noise_rad2_s=0.5, frontend_bw_hz=1800000,
+        multipath="7,0.8,0.3,0.13")
+    assert truth["impairments"]["tcxo_ppm"] == 2.0
+    baseband = reference_to_baseband(signs)
+    prns = [s["prn"] for s in truth["sats"]]
+    results = {r.prn: r for r in acquire(baseband, prns)}
+    shift = -2.0e-6 * 1.57542e9
+    for t in truth["sats"]:
+        r = results[t["prn"]]
+        assert r.detected, t["prn"]
+        cp_true = (1023.0 * (1.0 - (t["delay_ms"] % 1.0))) % 1023.0
+        dcp = abs(r.code_phase_chips - cp_true)
+        dcp = min(dcp, 1023.0 - dcp)
+        # multipath on PRN 7 can pull the correlation peak by a
+        # fraction of a chip; others stay sub-chip
+        bound = 1.5 if t["prn"] == 7 else 1.0
+        assert dcp < bound, (t["prn"], r.code_phase_chips, cp_true)
+        assert abs(r.doppler_hz - (t["doppler_hz"] + shift)) < 300.0, (
+            t["prn"], r.doppler_hz, t["doppler_hz"] + shift)
