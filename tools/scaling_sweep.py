@@ -126,15 +126,72 @@ def main():
               f"({rows[-1]['track_samples_per_s_per_chip']:.3g} "
               f"samples/s/chip)", file=sys.stderr)
 
+    # --- fixed-work-per-device mode (VERDICT r2 weak-4) -----------------
+    # On the shared-core virtual mesh, the fixed-TOTAL-work sweep above
+    # confounds SPMD overhead with core contention.  Here each point
+    # compares the SAME total work (32*n channels / 8*n PRNs) run
+    # (a) sharded over an n-device mesh vs (b) unsharded on one device —
+    # both use every physical core, so the ratio isolates the
+    # SPMD/collective/partitioning overhead.
+    fixed_rows = []
+    for n in sizes:
+        n_ch = 32 * n
+        prns_n = [(i % 32) + 1 for i in range(n_ch)]
+        table_n = ca_table_bipolar(prns_n)
+        st_n = init_state(n_ch, rng.uniform(0, 1023, n_ch),
+                          rng.uniform(-5e3, 5e3, n_ch))
+        t_fix = 200
+        ep_fix = trk_epochs[:t_fix]
+
+        def timed(fn, *args, reps=3):
+            r = fn(*args)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(*args)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / reps
+
+        # (b) unsharded single-device baseline at the same total work
+        tb1 = jnp.asarray(table_n)
+        fn1 = jax.jit(lambda s, e: track_block(s, e, tb1, plan, cfg))
+        t_single = timed(fn1, st_n, ep_fix)
+
+        # (a) sharded over the n-device mesh
+        if n == 1:
+            t_shard = t_single
+        else:
+            mesh = make_mesh(time=1, chan=n, devices=devs[:n])
+            st_s = shard_track_state(st_n, mesh)
+            tb_s = shard_code_table(jnp.asarray(table_n), mesh)
+            with jax.sharding.set_mesh(mesh):
+                ep_s = replicated(ep_fix, mesh)
+                fns = jax.jit(lambda s, e: track_block(s, e, tb_s, plan, cfg))
+                t_shard = timed(fns, st_s, ep_s)
+        fixed_rows.append(dict(
+            devices=n, channels=n_ch,
+            track_single_s=round(t_single, 4),
+            track_sharded_s=round(t_shard, 4),
+            spmd_overhead_pct=round(100.0 * (t_shard / t_single - 1.0), 1),
+        ))
+        print(f"fixed-work n={n}: {n_ch} ch single {t_single*1e3:.0f} ms "
+              f"sharded {t_shard*1e3:.0f} ms "
+              f"overhead {fixed_rows[-1]['spmd_overhead_pct']:+.1f}%",
+              file=sys.stderr)
+
     out = dict(
         platform=devs[0].platform,
         physical_cores=os.cpu_count(),
         virtual_mesh=devs[0].platform == "cpu",
-        note=("virtual CPU devices share the host cores: this measures "
-              "SPMD/collective overhead vs the 1-device baseline, not "
-              "speedup — same script yields real scaling on a TPU slice"),
+        note=("virtual CPU devices share the host cores: the fixed-total-"
+              "work rows measure SPMD+contention vs the 1-device "
+              "baseline; the fixed-work-per-device rows compare sharded "
+              "vs unsharded at the SAME total work, isolating "
+              "SPMD/collective overhead — same script yields real "
+              "scaling on a TPU slice"),
         acq_epochs=e_acq, track_epochs=t_trk, channels=32,
         rows=rows,
+        fixed_work_rows=fixed_rows,
     )
     with open(os.path.join(ROOT, "SCALING_SWEEP.json"), "w") as f:
         json.dump(out, f, indent=1)
