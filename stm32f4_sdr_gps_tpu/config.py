@@ -317,6 +317,16 @@ class ReceiverConfig:
     # streaming (late-rising satellites); 0 disables.  The firmware's
     # channel set is fixed at compile time.
     reacquire_period_ms: int = 0
+    # Channel demotion (drop_dead_channels): a live channel is
+    # "healthy" whenever its measured C/N0 is at or above the floor;
+    # a channel unhealthy for longer than the grace window is demoted
+    # to standby.  Staleness-based so every failure mode demotes —
+    # C/N0 collapsed, estimator returning 0 on noise (regardless of
+    # the I/Q-ratio SNR), or a channel that decoded bits once and then
+    # died.  The firmware tracks garbage forever (its watchdog only
+    # kicks the carrier, tracking.c:306-326).
+    cn0_floor_dbhz: float = 25.0
+    demote_grace_ms: int = 1000
     # RAIM residual screening threshold (m); 0 disables (needs >= 6
     # satellites for fault identification).
     raim_threshold_m: float = 0.0

@@ -59,10 +59,27 @@ class HatchState:
     count: int = 0
     window: int = 100
     reset_threshold_m: float = 50.0
+    last_update_ms: int = -1
 
-    def update(self, pr_m: float, carrier_cycles: float) -> float:
+    def update(self, pr_m: float, carrier_cycles: float,
+               epoch_ms: int = -1) -> float:
         """Fold in a new (pseudorange, accumulated carrier) pair and
-        return the smoothed pseudorange."""
+        return the smoothed pseudorange.
+
+        Idempotent per measurement epoch: a second call with the same
+        ``epoch_ms`` (two consumers — e.g. the solve and RTCM cadences —
+        reading the same measurement) returns the already-smoothed value
+        without folding again.  Without the guard a coincident-cadence
+        epoch would double-weight one code measurement (both cadences
+        land on the same epoch at every LCM, e.g. 500/200 ms → every
+        1000 ms), silently shortening the filter window.  Calls at
+        distinct epochs each fold one independent code measurement —
+        that is the filter's intended semantics (window counts
+        measurements, not seconds)."""
+        if epoch_ms >= 0 and epoch_ms == self.last_update_ms \
+                and self.count > 0:
+            return self.pr_m
+        self.last_update_ms = epoch_ms
         if self.count == 0:
             self.pr_m = pr_m
             self.carrier_cycles = carrier_cycles

@@ -179,10 +179,11 @@ class MeshReceiver(Receiver):
         self._reshard_to_tracker()
         return added
 
-    def drop_dead_channels(self, cn0_floor_dbhz: float = 25.0) -> List[int]:
+    def drop_dead_channels(self, cn0_floor_dbhz: float = None,
+                           grace_ms: int = None) -> List[int]:
         if self.tracker is None:
-            return super().drop_dead_channels(cn0_floor_dbhz)
+            return super().drop_dead_channels(cn0_floor_dbhz, grace_ms)
         self._sync_live_from_tracker()
-        dropped = super().drop_dead_channels(cn0_floor_dbhz)
+        dropped = super().drop_dead_channels(cn0_floor_dbhz, grace_ms)
         self._reshard_to_tracker()
         return dropped

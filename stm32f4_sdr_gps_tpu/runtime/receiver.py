@@ -134,6 +134,11 @@ class ChannelStatus:
     # every observation the channel contributes until the grid re-syncs
     grid_bias_ms: int = 0
     grid_faults: int = 0
+    # demotion ledger: last epoch the channel's measured C/N0 cleared
+    # the configured floor (ReceiverConfig.cn0_floor_dbhz); set to the
+    # join epoch at tracking start so new channels get the full grace
+    # window before drop_dead_channels can demote them
+    last_healthy_ms: int = -1
 
 
 def _m2m4_cn0(ip: np.ndarray, qp: np.ndarray,
@@ -285,6 +290,7 @@ class Receiver:
         )
         for ch in live:
             ch.state_name = "TRACKING"
+            ch.last_healthy_ms = start_epoch
 
     @property
     def _digest_active(self) -> bool:
@@ -511,6 +517,8 @@ class Receiver:
             # epoch instead of the last edge's predecessor
             clean = ~(br_c | np.concatenate([br_c[1:], [False]]))
             ch.cn0_dbhz = _m2m4_cn0(ip[clean, c], qp[clean, c])
+            if ch.cn0_dbhz >= cfg.cn0_floor_dbhz:
+                ch.last_healthy_ms = self.epoch_cursor + n_epochs
             ch.doppler_hz = float(dop[-1, c])
             # integrated Doppler = carrier-phase observable (cycles);
             # float64 host accumulation avoids f32 drift
@@ -576,6 +584,8 @@ class Receiver:
             ch.cn0_dbhz = cn0_from_moments(
                 float(d.cn0_m2[c]), float(d.cn0_m4[c]), int(d.cn0_n[c])
             )
+            if ch.cn0_dbhz >= cfg.cn0_floor_dbhz:
+                ch.last_healthy_ms = self.epoch_cursor + n_epochs
             ch.doppler_hz = float(d.doppler_hz[c])
             ch.carrier_cycles += float(d.doppler_sum[c]) * 1e-3
             ch.code_phase_chips = float(
@@ -745,7 +755,7 @@ class Receiver:
         # pseudorange between solve epochs, averaging code noise down
         for o, ch in zip(obs, ready):
             o.L = rel_l[ch.prn]
-            o.P = ch.hatch.update(o.P, o.L)
+            o.P = ch.hatch.update(o.P, o.L, epoch_ms=meas_epoch_ms)
         eph_map = {ch.prn: ch.eph for ch in ready}
         x0 = self.solutions[-1].rr if self.solutions else None
         # solver stage carries the firmware's budget-alarm role
@@ -875,23 +885,42 @@ class Receiver:
             ch.acq = res
             ch.state_name = "TRACKING"
             ch.acq_search_start_ms = -1
+            ch.last_healthy_ms = self.epoch_cursor
             self.channels.append(ch)
             self.standby_channels.remove(ch)
         return new_prns
 
-    def drop_dead_channels(self, cn0_floor_dbhz: float = 25.0) -> List[int]:
-        """Demote channels whose C/N0 collapsed (signal set/blocked) to
+    def drop_dead_channels(self, cn0_floor_dbhz: float = None,
+                           grace_ms: int = None) -> List[int]:
+        """Demote channels that have been unhealthy (measured C/N0
+        below ``cn0_floor_dbhz``) for longer than ``grace_ms`` to
         standby, removing them from the live tracking state.  They
-        become candidates for background re-acquisition.  The firmware
-        keeps tracking garbage forever (its false-lock watchdog only
+        become candidates for background re-acquisition.
+
+        Staleness of a single health signal (the per-block C/N0
+        estimate refreshing ``last_healthy_ms``) covers every failure
+        mode uniformly: C/N0 collapsed to a small positive value, the
+        M2M4 estimator returning 0.0 on noise — regardless of what the
+        I/Q-ratio SNR happens to read — and a channel that once decoded
+        bits and then died.  (The previous value-at-this-instant
+        heuristic left the last two tracking garbage forever.)  The
+        firmware never demotes at all (its false-lock watchdog only
         kicks the carrier, tracking.c:306-326).
         """
         import jax
 
-        dead = [c for c, ch in enumerate(self.channels)
-                if 0.0 < ch.cn0_dbhz < cn0_floor_dbhz
-                or (ch.cn0_dbhz == 0.0 and ch.snr_db < 1.0
-                    and ch.bit_count == 0 and self.epoch_cursor > 1000)]
+        cfg = self.config
+        floor = (cfg.cn0_floor_dbhz if cn0_floor_dbhz is None
+                 else cn0_floor_dbhz)
+        grace = cfg.demote_grace_ms if grace_ms is None else grace_ms
+        dead = []
+        for c, ch in enumerate(self.channels):
+            # an explicit floor above the configured one can demote a
+            # channel whose ledger is fresh at the configured floor
+            if ch.cn0_dbhz >= floor:
+                continue
+            if self.epoch_cursor - ch.last_healthy_ms > grace:
+                dead.append(c)
         if not dead:
             return []
         keep = np.array(
@@ -963,9 +992,11 @@ class Receiver:
             # meters-scale between emissions; the Hatch filter (the
             # firmware's code-filter role, gps_master.c:332-388, but
             # carrier-aided) keeps the emitted P code-carrier
-            # consistent.  Updating here AND at the solve cadence is
-            # fine — each update folds one (P, L) pair recursively.
-            o.P = ch.hatch.update(o.P, o.L)
+            # consistent.  Updates here AND at the solve cadence each
+            # fold one (P, L) measurement; HatchState.update is
+            # idempotent per epoch, so a coincident solve+RTCM epoch
+            # folds once (tests/test_runtime.py pins this).
+            o.P = ch.hatch.update(o.P, o.L, epoch_ms=meas_epoch_ms)
             # phaserange: ambiguity initialized so it aligns with the
             # pseudorange at first emission, carrier-continuous after.
             # Positive Doppler = closing range (HatchState.update), so

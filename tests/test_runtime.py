@@ -318,3 +318,116 @@ def test_profiler_stages_populated(short_capture):
     assert stages["track"].budget_s is not None   # real-time budget alarm
     report = render_status(rx, profile=True)
     assert "track" in report and "mean ms" in report
+
+
+def test_hatch_update_idempotent_per_epoch():
+    """VERDICT r2 weak-5: the Hatch filter is read by both the solve
+    (500 ms) and RTCM (200 ms) cadences; at their coincident epochs
+    (every 1000 ms) the same code measurement must fold ONCE, not
+    twice — double-folding shortens the filter window and biases the
+    smoothed P toward that epoch's raw code noise."""
+    from stm32f4_sdr_gps_tpu.pvt.observables import HatchState
+
+    rng = np.random.default_rng(7)
+    h = HatchState(window=100)
+    # distinct epochs each fold one measurement
+    p1 = h.update(20000.0e3 + rng.normal() * 3.0, 0.0, epoch_ms=200)
+    assert h.count == 1
+    p2 = h.update(20000.0e3 + rng.normal() * 3.0, -100.0, epoch_ms=400)
+    assert h.count == 2
+    # a second consumer at the SAME epoch: no fold, same output
+    p2b = h.update(20000.0e3 + 50.0, -100.0, epoch_ms=400)
+    assert h.count == 2
+    assert p2b == p2
+    # and the next distinct epoch folds normally
+    h.update(20000.0e3 + rng.normal() * 3.0, -200.0, epoch_ms=500)
+    assert h.count == 3
+    # trajectory equivalence: feeding the same per-epoch series with a
+    # duplicated consumer at every epoch matches the single-consumer run
+    ha, hb = HatchState(), HatchState()
+    out_a, out_b = [], []
+    for k in range(50):
+        pr = 21000.0e3 - 30.0 * k + rng.normal() * 4.0
+        lcyc = k * 30.0 / 0.1902936727983649
+        out_a.append(ha.update(pr, lcyc, epoch_ms=k * 200))
+        out_b.append(hb.update(pr, lcyc, epoch_ms=k * 200))
+        out_b[-1] = hb.update(pr, lcyc, epoch_ms=k * 200)  # 2nd consumer
+    assert out_a == out_b
+
+
+def _demotion_rx(n=3, grace_ms=1000):
+    """Receiver with hand-built live tracking state for demotion tests."""
+    import jax.numpy as jnp
+
+    from stm32f4_sdr_gps_tpu.runtime.receiver import ChannelStatus
+    from stm32f4_sdr_gps_tpu.track.state import init_state
+
+    cfg = _cfg(demote_grace_ms=grace_ms)
+    rx = Receiver(cfg)
+    rx.channels = [ChannelStatus(prn=p + 1, state_name="TRACKING")
+                   for p in range(n)]
+    rx.track_state = init_state(
+        n, np.zeros(n), np.zeros(n),
+        window=cfg.track.pll_check_window)
+    rx.code_table = jnp.zeros((n, 16), jnp.float32)
+    return rx
+
+
+def test_demotes_zero_cn0_noise_channel_despite_high_snr():
+    """VERDICT r2 weak-6 edge 1: a channel tracking noise whose M2M4
+    estimator returns 0.0 must demote even when the I/Q-ratio SNR
+    happens to read >= 1 dB (the old gate required snr_db < 1)."""
+    rx = _demotion_rx()
+    rx.epoch_cursor = 5000
+    for ch in rx.channels:
+        ch.last_healthy_ms = 4900
+        ch.cn0_dbhz = 45.0
+    bad = rx.channels[1]
+    bad.cn0_dbhz = 0.0          # estimator failed on noise
+    bad.snr_db = 3.0            # chance I/Q ratio — old gate never fired
+    bad.last_healthy_ms = 2000  # stale for 3 s
+    dropped = rx.drop_dead_channels()
+    assert dropped == [bad.prn]
+    assert [ch.prn for ch in rx.channels] == [1, 3]
+    assert rx.track_state.doppler_hz.shape[0] == 2
+    assert rx.code_table.shape[0] == 2
+    assert bad in rx.standby_channels and bad.state_name == "LOST"
+
+
+def test_demotes_channel_that_decoded_bits_then_died():
+    """VERDICT r2 weak-6 edge 2: a channel that once decoded bits and
+    then lost its signal (cn0 -> 0) must not linger forever (the old
+    gate's bit_count == 0 clause made it immortal)."""
+    rx = _demotion_rx()
+    rx.epoch_cursor = 10000
+    for ch in rx.channels:
+        ch.last_healthy_ms = 9900
+        ch.cn0_dbhz = 45.0
+    bad = rx.channels[2]
+    bad.bit_count = 120         # decoded a whole subframe once
+    bad.cn0_dbhz = 0.0
+    bad.snr_db = 0.2
+    bad.last_healthy_ms = 3000
+    assert rx.drop_dead_channels() == [bad.prn]
+
+
+def test_demotion_respects_grace_window():
+    """A short fade (unhealthy for less than the grace window) must NOT
+    demote; crossing the window must."""
+    rx = _demotion_rx(grace_ms=1500)
+    rx.epoch_cursor = 4000
+    for ch in rx.channels:
+        ch.cn0_dbhz = 20.0              # all below the floor right now
+        ch.last_healthy_ms = 3000       # but only stale for 1000 ms
+    assert rx.drop_dead_channels() == []
+    rx.epoch_cursor = 4600              # stale for 1600 ms > grace
+    dropped = rx.drop_dead_channels()
+    # never drop the last channel set: all three are dead -> keep none
+    # rule says return [] when nothing would remain
+    assert dropped == []
+    # one healthy channel present -> the stale ones go
+    rx.channels[0].cn0_dbhz = 45.0
+    rx.channels[0].last_healthy_ms = 4500
+    dropped = rx.drop_dead_channels()
+    assert sorted(dropped) == [2, 3]
+    assert [ch.prn for ch in rx.channels] == [1]
