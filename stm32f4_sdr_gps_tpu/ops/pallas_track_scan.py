@@ -104,9 +104,16 @@ NI32 = len(_I32_FIELDS)
 # per-epoch output slots (SUBLANE axis of the (EPB, NOUT, C, 1) output
 # block): 0 ip, 1 qp, 2 code_phase (epoch start), 3 doppler (updated),
 # 4 bit_ready, 5 bit_value, 6 bit_epoch, 7 period_sync_ok,
-# 8 snr_db, 9 code_wrapped, 10 ie, 11 qe, 12 il, 13 ql,
-# 14 phase_err, 15 spare
-NOUT = 16
+# 8 snr_db, 9 code_wrapped, then ONLY when cfg.emit_correlators:
+# 10 ie, 11 qe, 12 il, 13 ql.  Production (no correlator diagnostics)
+# writes the 10-slot block — the diag slots were all-zero bytes through
+# HBM before (a former slot 14 mirrored pll_err_prev state and was
+# never read).
+NOUT = 16          # historical full layout (docs/tests reference)
+
+
+def _nout(cfg: TrackConfig) -> int:
+    return 14 if cfg.emit_correlators else 10
 
 # carrier-ramp cache refresh threshold (Hz): the per-epoch 2nd-order
 # delta-f correction is accurate to ~2e-5 rad at this residual
@@ -121,11 +128,17 @@ EPB = 8
 UNROLL = False
 
 # replica base window: 2048 output lanes + one 128-lane tile of barrel
-# margin (max composed left-shift is 15 + 2 = 17 lanes)
+# margin (max composed left-shift is span + 2 <= 17 lanes)
 WIN = SP + 128
-# barrel range: e_shift = mc - base - 1 must stay in [0, _BARREL_SPAN];
-# the base is rebuilt at mc - 1 - _BARREL_SPAN // 2 when it leaves
-_BARREL_SPAN = 15
+# barrel range: e_shift = mc - base - 1 must stay in [0, span]; the
+# base is rebuilt at mc - 1 - span // 2 when it leaves.  The span (and
+# so the masked-stage count) is chosen per config in _kernel: 3 stages
+# (span 7) when a whole grid step's worst-case DLL drift fits the
+# hoisted-rebuild margin, else 4 stages (span 15).  Real drift is
+# ~0.01 half-chips/epoch (code Doppler + DLL dither), so the narrower
+# span still rebuilds only every few hundred epochs — each masked
+# stage is a (C, WIN) roll + select, ~0.19 us/epoch at 32 channels.
+_BARREL_SPAN = 15  # widest supported (margin bound below)
 
 
 def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
@@ -160,8 +173,18 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
     _drift1 = 2.0 * ((cfg.dll_c1 * 2.0 + cfg.dll_c2 * cfg.dt_s)
                      / cfg.fine_ratio + 1e-3)
     _margin = int(np.ceil(EPB * _drift1))
+    # Barrel span is FIXED at 15 (4 masked stages).  A 3-stage span-7
+    # barrel was tried and REJECTED (measured 3.53 vs 3.19 us/epoch at
+    # 32 ch): with rebuild margin 3 only es in {3, 4} avoids a rebuild,
+    # and under DLL dither some channel crosses a half-chip boundary
+    # almost every grid step — each crossing triggers the all-channel
+    # scalar rebuild loop, which costs far more than the fourth masked
+    # stage saves.  Span 15 leaves +/-4 half-chips of slack after each
+    # recenter, keeping rebuilds rare.
+    span, stages = _BARREL_SPAN, (1, 2, 4, 8)
     # hoisting is valid only if a full step's drift fits the barrel span
-    _hoist_rebuild = _margin <= (_BARREL_SPAN - 1) // 2
+    _hoist_rebuild = _margin <= (span - 1) // 2
+    nout = _nout(cfg)
 
     def costas_err(ip, qp):
         """atan2(qp*sign(ip), |ip|)/pi without atan2 (no Mosaic
@@ -284,7 +307,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             mc = jnp.floor(2.0 * cpc).astype(jnp.int32)
             mc = jnp.where(mc == 0, S, mc)
             row = u2_ref[pl.ds(c, 1), :]
-            shift = mc - 1 - _BARREL_SPAN // 2
+            shift = mc - 1 - span // 2
             base_st[pl.ds(c, 1), :] = pltpu.roll(row, -shift, 1)[:, :WIN]
             return 0
 
@@ -300,10 +323,10 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                             jnp.where(es0 > 1023, es0 - S, es0))
 
             @pl.when(jnp.any((es0 < _margin) |
-                             (es0 > _BARREL_SPAN - _margin)))
+                             (es0 > span - _margin)))
             def _rebuild_bases_step():
                 jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
-                b_plane[0] = mc0 - 1 - _BARREL_SPAN // 2
+                b_plane[0] = mc0 - 1 - span // 2
 
         # ---- EPB epochs per grid step (amortizes per-step overhead) ----
         def epoch_body(ei, _):
@@ -365,10 +388,10 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
 
                 if not _hoist_rebuild:
                     @pl.when(jnp.any((mc_vec - b_plane[0] - 1 < 0) |
-                                     (mc_vec - b_plane[0] - 1 > _BARREL_SPAN)))
+                                     (mc_vec - b_plane[0] - 1 > span)))
                     def _rebuild_bases():
                         jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
-                        b_plane[0] = mc_vec - 1 - _BARREL_SPAN // 2
+                        b_plane[0] = mc_vec - 1 - span // 2
 
                 if ablate != "nobarrel":
                     es = mc_vec - b_plane[0] - 1   # [0, 15] per chan
@@ -385,7 +408,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     # bit; junk wrapping in from the right edge stays in
                     # lanes >= WIN-17, outside the [0, SP) slice.
                     bw = base_st[...]          # (C, WIN) f32
-                    for sft in (1, 2, 4, 8):
+                    for sft in stages:
                         rolled = pltpu.roll(bw, WIN - sft, 1)
                         bw = jnp.where((es & sft) != 0, rolled, bw)
                     p_full = pltpu.roll(bw, WIN - 1, 1)
@@ -449,7 +472,15 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 if ablate == "correlators":
                     # one add+reduce keeps the wipeoff alive (no DCE of
                     # the upstream section) while dropping 6 mult+reduce
+                    # (NOTE: the barrel outputs rep_* become dead here,
+                    # so this measures correlators + barrel together)
                     z = jnp.sum(yr + yi, axis=1, keepdims=True) * 0.0 + 1.0
+                    ie_r = qe_r = ip_r = qp_r = il_r = ql_r = z
+                elif ablate == "correlators2":
+                    # keeps the barrel alive too (rep_* feed the reduce):
+                    # measures the six mult+reduce correlators alone
+                    z = jnp.sum(yr + yi + rep_e + rep_p + rep_l,
+                                axis=1, keepdims=True) * 0.0 + 1.0
                     ie_r = qe_r = ip_r = qp_r = il_r = ql_r = z
                 else:
                     ie_r = jnp.sum(yr * rep_e, axis=1, keepdims=True)
@@ -458,6 +489,27 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     qp_r = jnp.sum(yi * rep_p, axis=1, keepdims=True)
                     il_r = jnp.sum(yr * rep_l, axis=1, keepdims=True)
                     ql_r = jnp.sum(yi * rep_l, axis=1, keepdims=True)
+                if ablate == "noforest":
+                    # measure everything downstream of the correlators
+                    # (scalar rotation, polynomial transcendentals,
+                    # loop filters, watchdog, SNR, bit sync, write-back
+                    # selects) by difference: advance only code phase /
+                    # epoch, keep the correlators alive via the SNR sums
+                    new_cp = jnp.mod(
+                        cp + cps * (1.0 + dop / FREQ_L1_HZ) * S,
+                        f32(CODE_LENGTH))
+                    f32_st[...] = jnp.stack([
+                        new_cp, dop, ph, dll_prev, pll_prev, fll_theta,
+                        fll_err, acq_dop, snr_i + ip_r, snr_q + qp_r,
+                        snr_db, bit_ip, bit_qp])
+                    i32_st[...] = jnp.stack([
+                        fll_primed, prev_sign, last_swap, rpc, sync,
+                        old_rem, pos_cnt, neg_cnt, bad_cnt, master,
+                        snr_cnt, epoch + 1, wraps])
+                    z = jnp.zeros_like(ip_r)
+                    out_ref[ei] = jnp.stack(
+                        [ip_r, qp_r, cp, dop] + [z] * (nout - 4))
+                    return
                 pc, ps = sincos_cycles(ph)                    # (C,1) poly
                 ip = ip_r * pc + qp_r * ps
                 qp = qp_r * pc - ip_r * ps
@@ -634,17 +686,20 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     rem2, p2, n2, bad2, master2, cnt2, epoch + 1,
                     wraps + wrapped_flag.astype(jnp.int32)])
 
-                # ---- output: sublane-axis stack (lane concat of the 16
-                # pieces measured +172 ns/epoch; this is free) ----------
+                # ---- output: sublane-axis stack (lane concat of the
+                # pieces measured +172 ns/epoch; the sublane stack is
+                # free).  Production writes the 10-slot block; the
+                # correlator-diagnostics slots exist only when emitted.
                 if ablate != "noout":
-                    out_ref[ei] = jnp.stack([
+                    pieces = [
                         ip, qp, cp, new_dop,
                         bit_ready.astype(f32), bit_val.astype(f32),
                         bit_epoch.astype(f32), sync2.astype(f32),
                         snr_db2, wrapped_flag.astype(f32),
-                        ie, qe, il, ql, phase_err_store,
-                        jnp.zeros_like(ip),
-                    ])
+                    ]
+                    if cfg.emit_correlators:
+                        pieces += [ie, qe, il, ql]
+                    out_ref[ei] = jnp.stack(pieces)
 
             return 0
 
@@ -802,6 +857,7 @@ def pallas_track_scan(
         u2 = jnp.concatenate([u2, jnp.repeat(u2[-1:], pad, axis=0)], axis=0)
     win_len = state.win.shape[0]
     assert win_len == cfg.pll_check_window
+    nout = _nout(cfg)
 
     x = jnp.zeros((t_pad, 2, SP), jnp.float32)
     x = x.at[:t_cnt, 0, :S].set(epochs.real)
@@ -828,7 +884,7 @@ def pallas_track_scan(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((EPB, NOUT, c, 1), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((EPB, nout, c, 1), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NF32, c, 1), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -842,7 +898,7 @@ def pallas_track_scan(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, NOUT, c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, nout, c, 1), jnp.float32),
             jax.ShapeDtypeStruct((NF32, c, 1), jnp.float32),
             jax.ShapeDtypeStruct((NI32, c, 1), jnp.int32),
             jax.ShapeDtypeStruct((win_len, c, 1), jnp.int32),
