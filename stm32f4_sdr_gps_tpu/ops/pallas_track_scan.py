@@ -1,11 +1,11 @@
-"""The whole tracking scan inside one Pallas kernel (v3, vectorized).
+"""The whole tracking scan inside one Pallas kernel (v4, vectorized).
 
 THE production TPU path: ``TrackConfig(in_kernel_scan=True)`` routes
 ``track.scan.track_block`` — and therefore the ``Receiver`` — through
-this kernel (v3 measured 313.6x real time at 32 channels / 13.4k
-channel-ms/ms aggregate at 256 on v5e, vs v2's 181x / 7.1k;
-SCALING.md §1 carries the current numbers).  The ``lax.scan``-of-steps
-path remains the CPU/reference backend.
+this kernel (v4 measured 403.5x real time at 32 channels / 15.2k
+channel-ms/ms aggregate at 256 on v5e, vs v3's 313.6x / 13.4k and
+v2's 181x / 7.1k; SCALING.md §1 carries the current numbers).  The
+``lax.scan``-of-steps path remains the CPU/reference backend.
 This kernel moves the *entire* loop — code NCO, carrier wipe-off, E/P/L
 correlation, DLL/Costas-PLL/FLL, false-lock watchdog, SNR estimator and
 bit sync (tracking.c:92-393 + nav_data.c:46-138 equivalents) — into a
@@ -20,30 +20,36 @@ single ``pallas_call`` with ``grid=(T/EPB,)``:
   planes persisting across grid steps (TPU grid steps execute
   sequentially on a core), and every loop-filter update is a vector op
   over the channel axis;
-* **v3 replica path — the masked barrel shifter.**  v2 cached rolled
+* **v4 replica path — incremental barrel.**  v2 cached rolled
   E/P/L replica rows and refreshed them through a per-channel scalar
   ``fori_loop`` guarded by ``pl.when(any(changed))``; measured on v5e
   that machinery was 3.4 of 5.5 us/epoch at 32 channels (62% — the
   round-2 "scalar forest" attribution was actually this: the
   constant-correlator ablation also froze the refresh dynamics).  v3
-  keeps one *base* window per channel (the doubled code left-rolled to
-  ``mc - 8``) and derives the exact E/P/L rows EVERY epoch with a
+  kept one *base* window per channel (the doubled code left-rolled to
+  ``mc - 8``) and derived the exact E/P/L rows EVERY epoch with a
   4-stage masked barrel: static left-rolls by 1/2/4/8 on the (C, WIN)
-  plane, each selected per channel by one bit of ``mc - base - 1``.
-  Fully vectorized, ~0.95 us unconditional at 32 channels (vs 3.4 for
-  the v2 machinery), bit-exact (integer rolls compose exactly; code
-  wraps fold back via the doubled code's S-periodicity), and the scalar
-  rebuild loop runs only when a channel nears the edge of its base's
-  span — that check is hoisted to once per grid step under a
-  DLL-gain-derived drift bound (each ``any()``→scalar sync costs
-  ~140 ns).  An int8 barrel mirror was tried and REJECTED: Mosaic has
-  no non-32-bit ``tpu.dynamic_rotate`` lowering;
+  plane, each selected per channel by one bit of ``mc - base - 1``
+  (~1.0 of 2.97 us/epoch at 32 channels).  v4 runs that full barrel
+  only on the FIRST epoch of each grid step and carries the composed
+  E-row window through the epoch ``fori_loop``, advancing it by the
+  epoch's mc delta — which the DLL drift bound guarantees is in
+  {-1, 0, +1} — with one static roll pair + select.  Bit-exact
+  (integer cyclic rolls compose exactly, so the carried window equals
+  ``roll(base, -es)``; code wraps fold back via the doubled code's
+  S-periodicity; mid-step high-side drift past the masked-stage span
+  is absorbed by the window's 128-lane margin), and the scalar rebuild
+  loop runs only when a channel's step-start shift leaves [margin,
+  span] (each ``any()``→scalar sync costs ~140 ns, so the check is
+  hoisted to once per grid step).  An int8 barrel mirror was tried and
+  REJECTED: Mosaic has no non-32-bit ``tpu.dynamic_rotate`` lowering;
 * the carrier cos/sin ramp — the most expensive VPU op in the kernel —
   is cached per channel (PallasScanState.ramp/.dref, carried state so
   resume stays bit-exact) and rebuilt only when a channel's Doppler
   drifts >8 Hz from its cached value; per epoch the cached ramp gets a
-  2nd-order residual-frequency correction (~2e-5 rad max error) plus an
-  exact scalar phase rotation;
+  1st-order residual-frequency correction (~1.2e-3 rad max error, far
+  below the correlator noise floor; 2nd order cost 4 more (C,SP)
+  passes = 0.1 us/epoch at 32 ch) plus an exact scalar phase rotation;
 * scalar-sized transcendentals are polynomial: the per-epoch (C, 1)
   carrier-phase cos/sin uses a quadrant-reduced Taylor kernel and the
   SNR log uses an exponent-split atanh series — tiny-vector
@@ -121,8 +127,10 @@ _RAMP_REFRESH_HZ = 8.0
 
 # epochs per grid step: each TPU grid step carries fixed
 # DMA/synchronization overhead (~3 us measured at 1 epoch/step, 60% of
-# the step), so EPB epochs run per step under an in-kernel fori_loop
-EPB = 8
+# the step), so EPB epochs run per step under an in-kernel fori_loop.
+# 16 also amortizes the per-step full barrel of the v4 incremental
+# replica path (16: 2.48 us/epoch at 32 ch vs 8: 2.51, 32: 2.78)
+EPB = 16
 # unroll the EPB loop (perf experiment knob, trace-time constant like
 # EPB — one value per process)
 UNROLL = False
@@ -182,8 +190,22 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
     # stage saves.  Span 15 leaves +/-4 half-chips of slack after each
     # recenter, keeping rebuilds rare.
     span, stages = _BARREL_SPAN, (1, 2, 4, 8)
-    # hoisting is valid only if a full step's drift fits the barrel span
-    _hoist_rebuild = _margin <= (span - 1) // 2
+    # v4 incremental barrel: the full 4-stage barrel runs only on the
+    # FIRST epoch of each grid step; epochs 1..EPB-1 carry the composed
+    # E-row window through the fori_loop and advance it by the epoch's
+    # mc delta, which the DLL drift bound guarantees is in {-1, 0, +1}
+    # (|ddelta| <= (dll_c1*2 + dll_c2*dt)/fine_ratio + code-Doppler
+    # << 1 half-chip/epoch).  One roll-pair + select replaces the four
+    # masked roll-selects (measured: the per-epoch barrel was 1.01 of
+    # 2.97 us at 32 ch).  Exactness: cyclic rolls compose, so the
+    # carried window equals roll(base, -es) bit for bit; junk wrapping
+    # in at the right edge stays in lanes >= WIN - (es + 2), and the
+    # rebuild check keeps 0 <= es at every epoch (low-side margin) while
+    # the 128-lane window margin absorbs high-side mid-step drift (es
+    # may exceed the masked-stage span mid-step; the NEXT step's check
+    # then rebuilds before its epoch-0 full barrel needs es <= span).
+    _incremental = _drift1 < 1.0
+    _hoist_rebuild = _incremental or _margin <= (span - 1) // 2
     nout = _nout(cfg)
 
     def costas_err(ip, qp):
@@ -311,25 +333,70 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             base_st[pl.ds(c, 1), :] = pltpu.roll(row, -shift, 1)[:, :WIN]
             return 0
 
-        if _hoist_rebuild:
-            # once per grid step: rebuild any base whose barrel shift
-            # could leave [0, span] within the next EPB epochs (margin
-            # from the DLL-gain drift bound above)
-            cp0 = f32_st[0]
-            mc0 = jnp.floor(2.0 * cp0).astype(jnp.int32)
-            mc0 = jnp.where(mc0 == 0, S, mc0)
-            es0 = mc0 - b_plane[0] - 1
-            es0 = jnp.where(es0 < -1023, es0 + S,
-                            jnp.where(es0 > 1023, es0 - S, es0))
+        def _mc_now():
+            cp = f32_st[0]
+            mc = jnp.floor(2.0 * cp).astype(jnp.int32)
+            return jnp.where(mc == 0, S, mc)
 
-            @pl.when(jnp.any((es0 < _margin) |
-                             (es0 > span - _margin)))
+        def _fold(v):
+            # a code wrap jumps mc by +-S; the doubled code is
+            # S-periodic (u2[j] == u2[j+S] everywhere), so fold shifts
+            # and deltas back into barrel range
+            return jnp.where(v < -1023, v + S,
+                             jnp.where(v > 1023, v - S, v))
+
+        if _hoist_rebuild:
+            # once per grid step: rebuild any base whose epoch-0 barrel
+            # shift is outside [0, span], or (incremental mode) could
+            # drift below 0 within the step (high-side mid-step drift
+            # is absorbed by the window's 128-lane margin; the next
+            # step's check rebuilds before ITS epoch-0 barrel)
+            mc0 = _mc_now()
+            es0 = _fold(mc0 - b_plane[0] - 1)
+            hi = span if _incremental else span - _margin
+
+            @pl.when(jnp.any((es0 < _margin) | (es0 > hi)))
             def _rebuild_bases_step():
                 jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
                 b_plane[0] = mc0 - 1 - span // 2
 
+        # ---- replica-window producers ---------------------------------
+        if ablate != "nobarrel":
+            def make_ew_full():
+                """E-row window from the base via the 4-stage masked
+                barrel (first epoch of each grid step; the rebuild
+                check guarantees es in [0, span] here)."""
+                mc = _mc_now()
+                es = _fold(mc - b_plane[0] - 1)
+                bw = base_st[...]
+                for sft in stages:
+                    rolled = pltpu.roll(bw, WIN - sft, 1)
+                    bw = jnp.where((es & sft) != 0, rolled, bw)
+                return bw, mc
+
+            def make_ew_incr(ew_prev, mc_prev):
+                """Advance the carried window by this epoch's mc delta —
+                in {-1, 0, +1} by the DLL drift bound (code wraps fold
+                to +-1 via S-periodicity) — with one roll pair + select
+                instead of the 4-stage barrel.  Cyclic rolls compose,
+                so the carried window stays bit-identical to
+                roll(base, -es)."""
+                mc = _mc_now()
+                d = _fold(mc - mc_prev)
+                left = pltpu.roll(ew_prev, WIN - 1, 1)
+                right = pltpu.roll(ew_prev, 1, 1)
+                ew = jnp.where(d == 1, left,
+                               jnp.where(d == -1, right, ew_prev))
+                return ew, mc
+        else:
+            def make_ew_full():
+                return base_st[...], _mc_now()
+
+            def make_ew_incr(ew_prev, mc_prev):
+                return ew_prev, mc_prev
+
         # ---- EPB epochs per grid step (amortizes per-step overhead) ----
-        def epoch_body(ei, _):
+        def epoch_tail(ei, ew):
             # trailing pad epochs (t_cnt not a multiple of EPB) are
             # skipped entirely: no state advance, output rows sliced off
             # (the pl.when predication is free on TPU — measured
@@ -373,46 +440,17 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 wraps = iS[12]
                 in_sync = sync == 1
 
-                # ---- replica rows via the masked barrel ---------------
-                # mc = integer half-chip shift of the doubled upsampled
-                # code (ops.pallas_epl equivalence); cp < 1023 so
-                # floor(2*cp) is already in [0, 2045] (no mod needed),
-                # with 0 aliased to S (lag 0 == lag 2046 in the doubled
-                # code).  The barrel runs unconditionally: caching its
-                # output behind an any(mc changed) guard measured SLOWER
-                # (3.64 vs 3.39 us/epoch at 32 channels — with the DLL
-                # dithering under noise, some channel crosses a
-                # half-chip boundary almost every epoch).
-                mc_vec = jnp.floor(2.0 * cp).astype(jnp.int32)
-                mc_vec = jnp.where(mc_vec == 0, S, mc_vec)
-
-                if not _hoist_rebuild:
-                    @pl.when(jnp.any((mc_vec - b_plane[0] - 1 < 0) |
-                                     (mc_vec - b_plane[0] - 1 > span)))
-                    def _rebuild_bases():
-                        jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
-                        b_plane[0] = mc_vec - 1 - span // 2
-
+                # ---- replica rows from the composed window ------------
+                # ew = the E-row window at this epoch's integer
+                # half-chip shift mc (ops.pallas_epl equivalence),
+                # produced by make_ew_full (first epoch of the step) or
+                # make_ew_incr (carried + delta roll); P/L are its +1/+2
+                # left-rolls.  Junk wrapping in from the right edge
+                # stays in lanes >= WIN - (es + 2) >= SP, outside the
+                # [0, SP) slice.
                 if ablate != "nobarrel":
-                    es = mc_vec - b_plane[0] - 1   # [0, 15] per chan
-                    # a code wrap makes mc jump by ±S (2046 -> 1); the
-                    # doubled code is periodic in S (u2[j] == u2[j+S]
-                    # everywhere — upsampled_code_doubled fills the full
-                    # row), so fold the jump back into barrel range
-                    es = jnp.where(es < -1023, es + S,
-                                   jnp.where(es > 1023, es - S, es))
-                    # left-roll by s == pltpu.roll(x, WIN - s) (static
-                    # shifts must be non-negative); each stage selected
-                    # per channel by one bit of es.  Rolls compose
-                    # exactly, so E/P/L match v2's dynamic rolls bit for
-                    # bit; junk wrapping in from the right edge stays in
-                    # lanes >= WIN-17, outside the [0, SP) slice.
-                    bw = base_st[...]          # (C, WIN) f32
-                    for sft in stages:
-                        rolled = pltpu.roll(bw, WIN - sft, 1)
-                        bw = jnp.where((es & sft) != 0, rolled, bw)
-                    p_full = pltpu.roll(bw, WIN - 1, 1)
-                    rep_e = bw[:, :SP]
+                    p_full = pltpu.roll(ew, WIN - 1, 1)
+                    rep_e = ew[:, :SP]
                     rep_p = p_full[:, :SP]
                     rep_l = pltpu.roll(p_full, WIN - 1, 1)[:, :SP]
                 else:
@@ -451,10 +489,15 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     cosd = rc
                     sind = rs
                 else:
+                    # FIRST-order residual rotation (v4): e^{jx} ~ 1+jx.
+                    # Max phase error x^2/2 ~ 1.2e-3 rad at the 8 Hz
+                    # refresh threshold (2nd order was 2e-5 but cost 4
+                    # more (C,SP) passes — measured 0.1 us/epoch at 32
+                    # ch); both are far below the correlator noise
+                    # floor and the polynomial Costas error.
                     xk = (two_pi / fs) * (dop - dref[0]) * k  # (C,SP) residual
-                    corr = 1.0 - 0.5 * xk * xk
-                    cosd = rc * corr - xk * rs
-                    sind = rs * corr + xk * rc
+                    cosd = rc - xk * rs
+                    sind = rs + xk * rc
                 xv = x_ref[ei]                     # one dynamic load: (2, SP)
                 xr = xv[0:1, :]
                 xi = xv[1:2, :]
@@ -701,16 +744,52 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                         pieces += [ie, qe, il, ql]
                     out_ref[ei] = jnp.stack(pieces)
 
-            return 0
+        if _incremental:
+            # epoch 0: full barrel from the (possibly just rebuilt)
+            # base; epochs 1..EPB-1: incremental window carried through
+            # the loop (pad epochs advance no state, so their delta is
+            # 0 and the carry passes through unchanged)
+            ew0, mc0 = make_ew_full()
+            epoch_tail(0, ew0)
 
-        if UNROLL:
-            # static epoch indices (x_ref/out_ref dynamic-index ops cost
-            # ~73 ns each) and cross-epoch instruction scheduling, at
-            # the price of an 8x larger kernel body to compile
-            for _ei in range(EPB):
-                epoch_body(_ei, 0)
+            def epoch_body(ei, carry):
+                ew_prev, mc_prev = carry
+                ew, mc = make_ew_incr(ew_prev, mc_prev)
+                epoch_tail(ei, ew)
+                return ew, mc
+
+            if UNROLL:
+                # static epoch indices (x_ref/out_ref dynamic-index ops
+                # cost ~73 ns each) and cross-epoch scheduling, at the
+                # price of an 8x larger kernel body to compile
+                carry = (ew0, mc0)
+                for _ei in range(1, EPB):
+                    carry = epoch_body(_ei, carry)
+            else:
+                jax.lax.fori_loop(1, EPB, epoch_body, (ew0, mc0))
         else:
-            jax.lax.fori_loop(0, EPB, epoch_body, 0)
+            # pathological-gain fallback (> 1 half-chip of code motion
+            # per epoch): full barrel every epoch, per-epoch rebuild
+            # check when even the step-hoisted margin doesn't fit
+            def epoch_body(ei, _):
+                if not _hoist_rebuild:
+                    mc_chk = _mc_now()
+                    es_chk = _fold(mc_chk - b_plane[0] - 1)
+
+                    @pl.when(jnp.any((es_chk < 0) | (es_chk > span)))
+                    def _rebuild_bases():
+                        jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
+                        b_plane[0] = mc_chk - 1 - span // 2
+
+                ew, _mc = make_ew_full()
+                epoch_tail(ei, ew)
+                return 0
+
+            if UNROLL:
+                for _ei in range(EPB):
+                    epoch_body(_ei, 0)
+            else:
+                jax.lax.fori_loop(0, EPB, epoch_body, 0)
 
         @pl.when(g == -(-t_cnt // EPB) - 1)
         def _store_state():
