@@ -204,6 +204,22 @@ class TrackConfig:
     pll_bit_c1: float = 5.4
     pll_bit_c2: float = 18.0
     pll_bit_scale: float = 1.0        # gain scale for the per-bit update
+    # Extended multi-bit coherent PLL (data wipeoff): with
+    # pll_ext_bits = K > 1 (requires coherent_pll), each completed bit's
+    # coherent prompt vector is sign-decided (the bit decision IS the
+    # data wipeoff — at the C/N0 this targets, per-bit Eb/N0 >= ~8 dB
+    # keeps decision errors < 1e-3) and accumulated; the Costas loop
+    # closes on the K-bit coherent sum at K*20 ms cadence.  Coherent
+    # integration grows K-fold (discriminator sigma ~ 1/sqrt(2*CN0*KT)),
+    # extending phase hold ~10*log10(K)/2 dB below the per-bit floor.
+    # Gains follow the pll_bit design rule (c1 = zeta*omega_n,
+    # c2 = omega_n^2/2) at a narrower omega_n matched to the slower
+    # update: omega_n = 2.2 rad/s, zeta = 0.9 measured best at
+    # 23-26 dBHz with K = 5.
+    pll_ext_bits: int = 1
+    pll_ext_c1: float = 2.0
+    pll_ext_c2: float = 2.42
+    pll_ext_scale: float = 1.0
     codes_in_bit: int = CODES_IN_BIT  # C/A periods per nav bit (20; test
     #                                   configs may compress time)
     # Pre-track refinement zone, half-chips (tracking.c:17)
@@ -287,6 +303,26 @@ COHERENT_TRACK = TrackConfig(
     pll_scale=1.0 / 16,
     fll_scale=1.0 / 16,
     bit_sync_up=1_000_000,
+)
+
+#: 100 ms data-wipeoff coherent tracking: COHERENT_TRACK plus the
+#: extended multi-bit PLL (pll_ext_bits = 5 decided bits per Costas
+#: update) and a narrower DLL.  Holds phase and decodes nav data ~4 dB
+#: below COHERENT_TRACK (measured from a synced handoff,
+#: tools/ext_pll_tune.py, 3 seeds x 74 bits each: 0/222 bit errors at
+#: 24-25 dBHz where the per-bit loop makes 12/222; 2/222 at 23).
+#: Below ~23 dBHz the errors are bit-DECISION-limited, not slip-limited
+#: (4/222 at 22, 7/222 at 20 with 95p Doppler error still < 0.5 Hz —
+#: consistent with the 20 ms Eb/N0 channel BER), i.e. the loop itself
+#: holds to ~20 dBHz.  The 0.1 s coherent spans assume low platform
+#: dynamics (the steady-state lag budget of the narrow loop covers the
+#: GPS-orbit 0.5 Hz/s worst case but not vehicle jerk) and TCXO drift
+#: << 1 ppm/s.
+DEEP_COHERENT_TRACK = dataclasses.replace(
+    COHERENT_TRACK,
+    pll_ext_bits=5,
+    dll_c1=0.25,
+    dll_c2=75.0,
 )
 
 

@@ -99,11 +99,12 @@ _F32_FIELDS = (
     "code_phase", "doppler", "carrier_phase",
     "dll_prev", "pll_prev", "fll_theta", "fll_err", "acq_doppler",
     "snr_i_sum", "snr_q_sum", "snr_db", "bit_ip_sum", "bit_qp_sum",
+    "ext_ip_sum", "ext_qp_sum",
 )
 _I32_FIELDS = (
     "fll_primed", "prev_sign", "last_swap", "rpc", "sync",
     "old_rem", "pos_cnt", "neg_cnt", "bad_cnt", "master_cnt",
-    "snr_cnt", "epoch", "code_wraps",
+    "snr_cnt", "epoch", "code_wraps", "ext_cnt",
 )
 NF32 = len(_F32_FIELDS)
 NI32 = len(_I32_FIELDS)
@@ -425,6 +426,8 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 snr_db = fS[10]
                 bit_ip = fS[11]
                 bit_qp = fS[12]
+                ext_ip = fS[13]
+                ext_qp = fS[14]
                 fll_primed = iS[0]
                 prev_sign = iS[1]
                 last_swap = iS[2]
@@ -438,6 +441,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 snr_cnt = iS[10]
                 epoch = iS[11]
                 wraps = iS[12]
+                ext_cnt = iS[13]
                 in_sync = sync == 1
 
                 # ---- replica rows from the composed window ------------
@@ -544,11 +548,11 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     f32_st[...] = jnp.stack([
                         new_cp, dop, ph, dll_prev, pll_prev, fll_theta,
                         fll_err, acq_dop, snr_i + ip_r, snr_q + qp_r,
-                        snr_db, bit_ip, bit_qp])
+                        snr_db, bit_ip, bit_qp, ext_ip, ext_qp])
                     i32_st[...] = jnp.stack([
                         fll_primed, prev_sign, last_swap, rpc, sync,
                         old_rem, pos_cnt, neg_cnt, bad_cnt, master,
-                        snr_cnt, epoch + 1, wraps])
+                        snr_cnt, epoch + 1, wraps, ext_cnt])
                     z = jnp.zeros_like(ip_r)
                     out_ref[ei] = jnp.stack(
                         [ip_r, qp_r, cp, dop] + [z] * (nout - 4))
@@ -605,21 +609,57 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
 
                 # ---- 20 ms coherent PLL (TrackConfig.coherent_pll) ----
                 phase_err_store = perr
+                ext_ip2, ext_qp2, ext_cnt2 = ext_ip, ext_qp, ext_cnt
                 if cfg.coherent_pll:
                     bit_done = in_sync & (rem < old_rem)
-                    perr_bit = costas_err(bit_ip, bit_qp)
-                    dt_bit = cib * cfg.dt_s
-                    pll_delta_bit = (
-                        cfg.pll_bit_c1 * wrap_half(perr_bit - pll_prev)
-                        + cfg.pll_bit_c2 * dt_bit * perr_bit
-                    ) * f32(cfg.pll_bit_scale)
-                    pll_delta = jnp.where(
-                        in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
-                    )
+                    if cfg.pll_ext_bits > 1:
+                        # extended K-bit data-wipeoff PLL: accumulate
+                        # sign-decided bit prompt vectors, close the
+                        # loop on the K-bit coherent sum (track.scan
+                        # reference-path equivalent)
+                        d = jnp.where(bit_ip >= 0, 1.0, -1.0)
+                        ext_ip2 = ext_ip + jnp.where(
+                            bit_done, d * bit_ip, 0.0)
+                        ext_qp2 = ext_qp + jnp.where(
+                            bit_done, d * bit_qp, 0.0)
+                        ext_cnt2 = ext_cnt + bit_done.astype(jnp.int32)
+                        ext_done = bit_done & (ext_cnt2 >= cfg.pll_ext_bits)
+                        perr_ext = costas_err(ext_ip2, ext_qp2)
+                        dt_ext = cfg.pll_ext_bits * cib * cfg.dt_s
+                        pll_delta_ext = (
+                            cfg.pll_ext_c1 * wrap_half(perr_ext - pll_prev)
+                            + cfg.pll_ext_c2 * dt_ext * perr_ext
+                        ) * f32(cfg.pll_ext_scale)
+                        pll_delta = jnp.where(
+                            in_sync,
+                            jnp.where(ext_done, pll_delta_ext, 0.0),
+                            pll_delta,
+                        )
+                        phase_err_store = jnp.where(
+                            in_sync,
+                            jnp.where(ext_done, perr_ext, pll_prev),
+                            perr,
+                        )
+                        clear = ext_done | ~in_sync
+                        ext_ip2 = jnp.where(clear, 0.0, ext_ip2)
+                        ext_qp2 = jnp.where(clear, 0.0, ext_qp2)
+                        ext_cnt2 = jnp.where(clear, 0, ext_cnt2)
+                    else:
+                        perr_bit = costas_err(bit_ip, bit_qp)
+                        dt_bit = cib * cfg.dt_s
+                        pll_delta_bit = (
+                            cfg.pll_bit_c1 * wrap_half(perr_bit - pll_prev)
+                            + cfg.pll_bit_c2 * dt_bit * perr_bit
+                        ) * f32(cfg.pll_bit_scale)
+                        pll_delta = jnp.where(
+                            in_sync, jnp.where(bit_done, pll_delta_bit, 0.0),
+                            pll_delta,
+                        )
+                        phase_err_store = jnp.where(
+                            in_sync, jnp.where(bit_done, perr_bit, pll_prev),
+                            perr,
+                        )
                     fll_delta = jnp.where(in_sync, 0.0, fll_delta)
-                    phase_err_store = jnp.where(
-                        in_sync, jnp.where(bit_done, perr_bit, pll_prev), perr
-                    )
 
                 new_dop = dop + pll_delta + fll_delta
                 new_ph = ph + dop * (S / fs)
@@ -723,11 +763,11 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 f32_st[...] = jnp.stack([
                     new_cp, new_dop, new_ph, cerr, phase_err_store,
                     perr, fdiff, acq_dop, snr_i2, snr_q2, snr_db2,
-                    ip_sum2, qp_sum2])
+                    ip_sum2, qp_sum2, ext_ip2, ext_qp2])
                 i32_st[...] = jnp.stack([
                     jnp.ones_like(fll_primed), sgn, ls2, rpc2, sync2,
                     rem2, p2, n2, bad2, master2, cnt2, epoch + 1,
-                    wraps + wrapped_flag.astype(jnp.int32)])
+                    wraps + wrapped_flag.astype(jnp.int32), ext_cnt2])
 
                 # ---- output: sublane-axis stack (lane concat of the
                 # pieces measured +172 ns/epoch; the sublane stack is
@@ -831,6 +871,7 @@ def state_from_track_state(ts: TrackState) -> PallasScanState:
         ts.fll_err_prev, ts.acq_doppler_hz,
         ts.snr_i_sum, ts.snr_q_sum, ts.snr_db,
         ts.bit_ip_sum, ts.bit_qp_sum,
+        ts.ext_ip_sum, ts.ext_qp_sum,
     ]).astype(jnp.float32)[..., None]
     i32 = jnp.stack([
         ts.fll_primed.astype(jnp.int32),
@@ -846,6 +887,7 @@ def state_from_track_state(ts: TrackState) -> PallasScanState:
         ts.snr_cnt.astype(jnp.int32),
         ts.epoch_idx.astype(jnp.int32),
         ts.code_wraps.astype(jnp.int32),
+        ts.ext_bit_cnt.astype(jnp.int32),
     ])[..., None]
     win = ts.ip_sign_window.astype(jnp.int32).T[..., None]
     c = f32.shape[1]
@@ -889,6 +931,9 @@ def state_to_track_state(ps: PallasScanState) -> TrackState:
         bit_qp_sum=f[12],
         epoch_idx=i[11],
         code_wraps=i[12],
+        ext_ip_sum=f[13],
+        ext_qp_sum=f[14],
+        ext_bit_cnt=i[13],
     )
 
 

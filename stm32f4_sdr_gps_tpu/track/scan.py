@@ -174,27 +174,61 @@ def track_epoch_step(
     # frozen (sign_flip masked below), so the bit boundary is derivable
     # from the un-rebased swap epoch.
     phase_err_store = phase_err
+    ext_ip = state.ext_ip_sum
+    ext_qp = state.ext_qp_sum
+    ext_cnt = state.ext_bit_cnt
     if cfg.coherent_pll:
         in_sync = state.period_sync_ok
         rem_now = jnp.mod(
             state.epoch_idx - state.last_swap_epoch, cfg.codes_in_bit
         )
         bit_done = in_sync & (rem_now < state.old_remainder)
-        perr_bit = _costas_phase_err(state.bit_ip_sum, state.bit_qp_sum)
-        dt_bit = cfg.codes_in_bit * cfg.dt_s
-        pll_delta_bit = (
-            cfg.pll_bit_c1 * _wrap_half(perr_bit - state.pll_err_prev)
-            + cfg.pll_bit_c2 * dt_bit * perr_bit
-        ) * jnp.float32(cfg.pll_bit_scale)
-        pll_delta = jnp.where(
-            in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
-        )
+        if cfg.pll_ext_bits > 1:
+            # ---- extended K-bit data-wipeoff PLL (pll_ext_bits) ------
+            # Each completed bit's coherent prompt vector is
+            # sign-decided (the nav-bit decision removes the data
+            # modulation) and accumulated; the Costas loop closes on
+            # the K-bit coherent sum every K bits.
+            d = jnp.where(state.bit_ip_sum >= 0, 1.0, -1.0)
+            ext_ip = ext_ip + jnp.where(bit_done, d * state.bit_ip_sum, 0.0)
+            ext_qp = ext_qp + jnp.where(bit_done, d * state.bit_qp_sum, 0.0)
+            ext_cnt = ext_cnt + bit_done.astype(jnp.int32)
+            ext_done = bit_done & (ext_cnt >= cfg.pll_ext_bits)
+            perr_ext = _costas_phase_err(ext_ip, ext_qp)
+            dt_ext = cfg.pll_ext_bits * cfg.codes_in_bit * cfg.dt_s
+            pll_delta_ext = (
+                cfg.pll_ext_c1 * _wrap_half(perr_ext - state.pll_err_prev)
+                + cfg.pll_ext_c2 * dt_ext * perr_ext
+            ) * jnp.float32(cfg.pll_ext_scale)
+            pll_delta = jnp.where(
+                in_sync, jnp.where(ext_done, pll_delta_ext, 0.0), pll_delta
+            )
+            phase_err_store = jnp.where(
+                in_sync,
+                jnp.where(ext_done, perr_ext, state.pll_err_prev),
+                phase_err,
+            )
+            # reset the accumulator after each update; clear stale
+            # sums whenever sync is lost
+            ext_ip = jnp.where(ext_done | ~in_sync, 0.0, ext_ip)
+            ext_qp = jnp.where(ext_done | ~in_sync, 0.0, ext_qp)
+            ext_cnt = jnp.where(ext_done | ~in_sync, 0, ext_cnt)
+        else:
+            perr_bit = _costas_phase_err(state.bit_ip_sum, state.bit_qp_sum)
+            dt_bit = cfg.codes_in_bit * cfg.dt_s
+            pll_delta_bit = (
+                cfg.pll_bit_c1 * _wrap_half(perr_bit - state.pll_err_prev)
+                + cfg.pll_bit_c2 * dt_bit * perr_bit
+            ) * jnp.float32(cfg.pll_bit_scale)
+            pll_delta = jnp.where(
+                in_sync, jnp.where(bit_done, pll_delta_bit, 0.0), pll_delta
+            )
+            phase_err_store = jnp.where(
+                in_sync,
+                jnp.where(bit_done, perr_bit, state.pll_err_prev),
+                phase_err,
+            )
         fll_delta = jnp.where(in_sync, 0.0, fll_delta)
-        phase_err_store = jnp.where(
-            in_sync,
-            jnp.where(bit_done, perr_bit, state.pll_err_prev),
-            phase_err,
-        )
 
     new_doppler = state.doppler_hz + pll_delta + fll_delta
 
@@ -333,6 +367,9 @@ def track_epoch_step(
         bit_qp_sum=qp_sum,
         epoch_idx=epoch + 1,
         code_wraps=state.code_wraps + code_wrapped.astype(jnp.int32),
+        ext_ip_sum=ext_ip,
+        ext_qp_sum=ext_qp,
+        ext_bit_cnt=ext_cnt,
     )
     if cfg.emit_correlators:
         diag = dict(ie=ie, qe=qe, il=il, ql=ql)

@@ -56,6 +56,11 @@ class TrackState(NamedTuple):
     # Ledger
     epoch_idx: jnp.ndarray                # i32, global epoch counter
     code_wraps: jnp.ndarray               # i32, net code-phase wraps (swap flag ledger)
+    # Extended multi-bit coherent PLL (cfg.pll_ext_bits > 1): K-bit
+    # data-wipeoff accumulator of sign-decided bit prompt vectors
+    ext_ip_sum: jnp.ndarray               # f32
+    ext_qp_sum: jnp.ndarray               # f32
+    ext_bit_cnt: jnp.ndarray              # i32, bits accumulated so far
 
 
 class TrackOutputs(NamedTuple):
@@ -133,4 +138,7 @@ def init_state(
         bit_qp_sum=jnp.zeros((c,), jnp.float32),
         epoch_idx=jnp.full((c,), start_epoch, jnp.int32),
         code_wraps=i32z,
+        ext_ip_sum=jnp.zeros((c,), jnp.float32),
+        ext_qp_sum=jnp.zeros((c,), jnp.float32),
+        ext_bit_cnt=i32z,
     )

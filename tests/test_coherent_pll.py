@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from stm32f4_sdr_gps_tpu.config import (
     BASEBAND_PLAN,
     COHERENT_TRACK,
+    DEEP_COHERENT_TRACK,
     TrackConfig,
 )
 from stm32f4_sdr_gps_tpu.signal.ca_code import ca_table_bipolar
@@ -77,5 +78,29 @@ def test_coherent_pll_clean_at_high_cn0():
     """45 dBHz sanity: coherent PLL is not a regression when strong."""
     epochs, bits = _capture(45.0, 25, seed=3)
     errs, n, dop = _track_bits(COHERENT_TRACK, epochs, bits)
+    assert errs == 0 and n >= 20
+    assert dop < 1.0
+
+
+def test_ext_pll_holds_where_per_bit_slips():
+    """24 dBHz, 15 s: the per-bit coherent loop slips half-cycles; the
+    100 ms data-wipeoff loop (DEEP_COHERENT_TRACK, pll_ext_bits=5)
+    tracks cleanly.  Full sweep evidence (20-26 dBHz, 3 seeds) in
+    tools/ext_pll_tune.py / the DEEP_COHERENT_TRACK docstring."""
+    epochs, bits = _capture(24.0, 37)
+
+    errs_bit, n_bit, dop_bit = _track_bits(COHERENT_TRACK, epochs, bits)
+    errs_ext, n_ext, dop_ext = _track_bits(DEEP_COHERENT_TRACK, epochs, bits)
+
+    assert errs_ext <= 1, (errs_ext, n_ext)
+    assert dop_ext < 1.0, dop_ext
+    assert errs_bit > 3 * max(errs_ext, 1), (errs_bit, errs_ext)
+
+
+def test_ext_pll_clean_at_high_cn0():
+    """45 dBHz sanity: the extended loop is not a regression when
+    strong."""
+    epochs, bits = _capture(45.0, 25, seed=3)
+    errs, n, dop = _track_bits(DEEP_COHERENT_TRACK, epochs, bits)
     assert errs == 0 and n >= 20
     assert dop < 1.0

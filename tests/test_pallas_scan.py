@@ -105,10 +105,16 @@ def _assert_states_match(st_ref, st_k):
               "right_period_cnt", "period_sync_ok", "old_remainder",
               "bit_pos_cnt", "bit_neg_cnt", "pll_bad_cnt",
               "pll_bad_master_cnt", "snr_cnt", "epoch_idx", "code_wraps",
-              "ip_sign_window"):
+              "ip_sign_window", "ext_bit_cnt"):
         np.testing.assert_array_equal(
             np.asarray(getattr(st_k, f)).astype(np.int32),
             np.asarray(getattr(st_ref, f)).astype(np.int32), err_msg=f)
+    np.testing.assert_allclose(np.asarray(st_k.ext_ip_sum),
+                               np.asarray(st_ref.ext_ip_sum),
+                               rtol=2e-2, atol=10.0)
+    np.testing.assert_allclose(np.asarray(st_k.ext_qp_sum),
+                               np.asarray(st_ref.ext_qp_sum),
+                               rtol=2e-2, atol=10.0)
 
 
 def test_in_kernel_scan_matches_production_scan():
@@ -170,6 +176,25 @@ def test_in_kernel_coherent_pll_mode():
     st_ref, out_ref, st_k, out_k = _run_both(90, cfg)
     _assert_outputs_match(out_ref, out_k)
     _assert_states_match(st_ref, st_k)
+
+
+def test_in_kernel_ext_pll_mode():
+    """The extended K-bit data-wipeoff PLL (pll_ext_bits > 1) runs
+    in-kernel and matches the production scan, including the ext
+    accumulator state."""
+    cfg = TrackConfig(
+        codes_in_bit=CIB,
+        use_pallas=True,
+        pallas_interpret=True,
+        coherent_pll=True,
+        pll_ext_bits=4,
+        pll_bad_state_threshold=10**6,
+    )
+    st_ref, out_ref, st_k, out_k = _run_both(90, cfg)
+    _assert_outputs_match(out_ref, out_k)
+    _assert_states_match(st_ref, st_k)
+    # the scenario must actually exercise the K-bit accumulator
+    assert np.asarray(st_ref.ext_bit_cnt).max() > 0
 
 
 @pytest.mark.parametrize("split", [40, 44])
