@@ -471,7 +471,9 @@ def parent_main():
         return
 
     tmp = tempfile.mkdtemp(prefix="bench_results_")
-    block_epochs = os.environ.get("BENCH_BLOCK_EPOCHS", "200")
+    # 192 = 12 grid steps of the in-kernel scan (EPB=16): a
+    # block that is a multiple of EPB carries no pad epochs
+    block_epochs = os.environ.get("BENCH_BLOCK_EPOCHS", "192")
     parent_timeout = CHILD_BUDGET_S + 60
 
     # 1. canary (own process: 20 chained 8192^3 matmuls are pure load
@@ -617,7 +619,7 @@ def main():
         child_track(child.split(":", 1)[1],
                     os.environ["BENCH_RESULT_FILE"],
                     os.environ.get("BENCH_HONEST_WALL") == "1",
-                    int(os.environ.get("BENCH_BLOCK_EPOCHS", "200")))
+                    int(os.environ.get("BENCH_BLOCK_EPOCHS", "192")))
     elif child == "acq":
         child_acq(os.environ["BENCH_RESULT_FILE"],
                   os.environ.get("BENCH_HONEST_WALL") == "1")
