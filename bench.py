@@ -336,6 +336,7 @@ def child_acq(result_file, honest_wall):
     from stm32f4_sdr_gps_tpu.acquire.engine import (
         acquisition_power,
         analyze_power_device,
+        dft_precision_enum,
         exclusion_lags,
     )
     from stm32f4_sdr_gps_tpu.ops.correlate import (
@@ -359,6 +360,7 @@ def child_acq(result_file, honest_wall):
         noncoherent_epochs=int(os.environ.get("BENCH_ACQ_EPOCHS", "10")),
         coherent_epochs=int(os.environ.get("BENCH_ACQ_COHERENT", "1")),
         doppler_step_hz=float(os.environ.get("BENCH_ACQ_STEP", "500")),
+        dft_precision=os.environ.get("BENCH_ACQ_PRECISION", "default"),
     )
     coherent = acq.coherent_epochs
     prns = list(range(1, 33))
@@ -393,8 +395,10 @@ def child_acq(result_file, honest_wall):
         # are generated on device and the code spectrum is a matmul
         dft_d = dft_tables_device(s)
         cfc_d = code_spectrum_conj_matmul(table_d, *dft_d)
+        prec = dft_precision_enum(acq)
         power_fn = jax.jit(lambda e, c, r, b, w0, w1: analyze_power_device(
-            acquisition_power(e, c, r, coherent=coherent, dft=(w0, w1)),
+            acquisition_power(e, c, r, coherent=coherent, dft=(w0, w1),
+                              dft_precision=prec),
             b, excl))
         args = (acq_epochs, cfc_d, rot_d, bins_d) + dft_d
     else:

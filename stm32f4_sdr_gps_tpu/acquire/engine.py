@@ -52,13 +52,25 @@ class AcqResult:
     peak_to_mean: float
 
 
-@functools.partial(jax.jit, static_argnames=("coherent",))
+def dft_precision_enum(cfg: AcqConfig):
+    """Map AcqConfig.dft_precision to the lax matmul precision used by
+    the matmul-DFT contractions (MXU lowering only; CPU is f32 either
+    way).  "default" = one-pass bf16/f32-accumulate, measured 5.9x the
+    f32-equivalent "highest" on v5e with detection statistics equal to
+    ~1e-3 (bf16-emulation test in tests/test_acquisition.py)."""
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[cfg.dft_precision]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("coherent", "dft_precision"))
 def acquisition_power(
     epochs: jnp.ndarray,        # (E, S) complex epochs
     cfc: jnp.ndarray,           # (P, S) conj code FFTs
     rot: jnp.ndarray,           # (D, S) Doppler rotations
     coherent: int = 1,
     dft: tuple | None = None,   # (wc, ws) from ops.correlate.dft_tables
+    dft_precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Non-coherently accumulated correlation power, shape (P, D, S).
 
@@ -87,7 +99,8 @@ def acquisition_power(
     def body(acc, block):
         xd = block[:, None, :] * rot[None, :, :]          # (co, D, S)
         if dft is not None:                               # MXU matmul-DFT
-            corr = matmul_circular_correlate(xd, cfc, *dft)
+            corr = matmul_circular_correlate(xd, cfc, *dft,
+                                             precision=dft_precision)
         else:
             corr = fft_circular_correlate(xd, cfc)         # (co, D, P, S)
         csum = (corr * phasor[:, :, None, None]).sum(axis=0)
@@ -286,12 +299,14 @@ def acquire(
         cfc = code_spectrum_conj_matmul(unpack_code_table(packed, s), *dft)
     else:
         cfc = code_fft_conj(prns, plan)
+    prec = dft_precision_enum(cfg)
     n_hyp = max(1, int(cfg.edge_hypotheses))
     # the (P, D, S) cube stays ON DEVICE end to end: hypothesis
     # max-combining and hint masking are device ops, and analyze_power
     # reads back only per-PRN scalars (analyze_power_device)
     if n_hyp == 1:
-        power = acquisition_power(epochs, cfc, rot, coherent=co, dft=dft)
+        power = acquisition_power(epochs, cfc, rot, coherent=co, dft=dft,
+                                  dft_precision=prec)
     else:
         # bit-edge hypotheses: shift the coherent block grid and
         # max-combine per-block-normalized powers, so one hypothesis has
@@ -305,7 +320,8 @@ def acquire(
             if n_blocks < 1:
                 continue
             pw = acquisition_power(
-                epochs[o: o + n_blocks * co], cfc, rot, coherent=co, dft=dft
+                epochs[o: o + n_blocks * co], cfc, rot, coherent=co,
+                dft=dft, dft_precision=prec,
             ) / float(n_blocks)
             power = pw if power is None else jnp.maximum(power, pw)
     power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)

@@ -122,6 +122,16 @@ class AcqConfig:
     # Bluesteins it; a dense (S, S) contraction is MXU-native).  Same
     # outputs to ~1e-5 relative (ops.correlate.matmul_circular_correlate).
     use_matmul_dft: bool = False
+    # Matmul precision of the DFT contractions: "default" = one-pass
+    # bf16 inputs with f32 accumulation (measured 1.9 ms vs 11.3 ms per
+    # 32-PRN cube on v5e — 5.9x); "highest" = f32-equivalent 6-pass.
+    # bf16 rounding is ~1e-3 of the per-product magnitude and the
+    # noncoherent integration averages it: detection statistics, peak
+    # ratios and sub-sample interpolation agree with f32 to ~1e-3
+    # (pinned by tests/test_acquisition.py bf16-emulation test), far
+    # inside the detect_ratio margins.  Only affects MXU lowering; the
+    # CPU backend computes f32 either way.
+    dft_precision: str = "default"
 
     @property
     def doppler_bins_hz(self) -> tuple:

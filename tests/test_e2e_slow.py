@@ -67,6 +67,29 @@ def test_weak_signal_cold_start_to_fix_32dbhz():
 
 
 @slow
+def test_weak_signal_cold_start_to_fix_29dbhz():
+    """The round-3 deep chain at 29 dBHz: ULTRA_ACQ acquisition ->
+    aided bit sync -> 100 ms data-wipeoff PLL (DEEP_COHERENT_TRACK) ->
+    ephemeris decode over a 66 s capture with the real 30 s frame
+    rebroadcast -> fix.  Measured floor: fix on 3/3 seeds at 29 dBHz
+    (194-260 m); at 28 one satellite typically misses a subframe
+    (tools/deep_cold_probe.py)."""
+    from stm32f4_sdr_gps_tpu.config import DEEP_COHERENT_TRACK, ULTRA_ACQ
+
+    sc = fix_scenario(num_epochs=66_000, cn0_dbhz=29.0, frame_repeats=2)
+    cfg = ReceiverConfig(prns=sc.prns, acq=ULTRA_ACQ,
+                         track=DEEP_COHERENT_TRACK, track_block_epochs=1000)
+    rx = Receiver(cfg)
+    report = rx.run(sc.samples)
+    for ch in report.channels:
+        assert ch.eph.has_full_set, ch.prn
+        assert ch.bit_synced
+    assert report.solutions, "no position fix obtained"
+    err = np.linalg.norm(report.solutions[-1].rr - sc.rr_true)
+    assert err < 500.0, f"position error {err:.1f} m"
+
+
+@slow
 def test_cold_start_fix_under_rf_impairments():
     """Cold start to fix on an RF-impaired capture (VERDICT r2
     §missing-3 done-condition): ±2 ppm TCXO offset (∓3.15 kHz common
