@@ -105,4 +105,10 @@ def engage_bit_sync(
         bit_neg_cnt=pick(0, state.bit_neg_cnt, i32),
         bit_ip_sum=pick(0.0, state.bit_ip_sum, jnp.float32),
         bit_qp_sum=pick(0.0, state.bit_qp_sum, jnp.float32),
+        # K-bit data-wipeoff accumulator (pll_ext_bits) restarts with
+        # the fresh boundary — stale partial sums from a previous
+        # grid would rotate the first extended update
+        ext_ip_sum=pick(0.0, state.ext_ip_sum, jnp.float32),
+        ext_qp_sum=pick(0.0, state.ext_qp_sum, jnp.float32),
+        ext_bit_cnt=pick(0, state.ext_bit_cnt, i32),
     )

@@ -52,7 +52,11 @@ def log(m):
 
 
 plan = BASEBAND_PLAN
-acq = AcqConfig()
+acq = AcqConfig(
+    noncoherent_epochs=int(os.environ.get("PROBE_ACQ_EPOCHS", "10")),
+    coherent_epochs=int(os.environ.get("PROBE_ACQ_COHERENT", "1")),
+    doppler_step_hz=float(os.environ.get("PROBE_ACQ_STEP", "500")),
+)
 s = plan.samples_per_epoch
 prns = list(range(1, 33))
 packed = pack_code_bits(prns, plan)
@@ -76,7 +80,7 @@ excl = exclusion_lags(acq, plan)
 dft_d = dft_tables_device(s)
 cfc_d = code_spectrum_conj_matmul(table_d, *dft_d)
 power_fn = jax.jit(lambda e, c, r, b, w0, w1: analyze_power_device(
-    acquisition_power(e, c, r, coherent=1, dft=(w0, w1),
+    acquisition_power(e, c, r, coherent=acq.coherent_epochs, dft=(w0, w1),
                       dft_precision=prec),
     b, excl))
 args = (acq_epochs, cfc_d, rot_d, bins_d) + dft_d
