@@ -137,17 +137,21 @@ EPB = 16
 UNROLL = False
 
 # replica base window: 2048 output lanes + one 128-lane tile of barrel
-# margin (max composed left-shift is span + 2 <= 17 lanes)
+# margin (composed left-shift stays well inside: span + step drift +
+# the P/L rolls <= ~22 lanes)
 WIN = SP + 128
-# barrel range: e_shift = mc - base - 1 must stay in [0, span]; the
-# base is rebuilt at mc - 1 - span // 2 when it leaves.  The span (and
-# so the masked-stage count) is chosen per config in _kernel: 3 stages
-# (span 7) when a whole grid step's worst-case DLL drift fits the
-# hoisted-rebuild margin, else 4 stages (span 15).  Real drift is
-# ~0.01 half-chips/epoch (code Doppler + DLL dither), so the narrower
-# span still rebuilds only every few hundred epochs — each masked
-# stage is a (C, WIN) roll + select, ~0.19 us/epoch at 32 channels.
-_BARREL_SPAN = 15  # widest supported (margin bound below)
+# barrel range: the FULL 4-stage barrel (grid-step epoch 0) needs
+# e_shift = mc - base - 1 in [0, span]; the base is rebuilt at
+# mc - 1 - span // 2 when the step-start check sees it below the drift
+# margin or above span.  Epochs 1..EPB-1 advance the carried window
+# incrementally (delta in {-1,0,+1} by the DLL drift bound), so
+# mid-step the shift may exceed span — the 128-lane window margin
+# absorbs it and the next step's check rebuilds first.  A 3-stage
+# span-7 barrel was tried for the then-per-epoch barrel and REJECTED
+# (3.53 vs 3.19 us/epoch: rebuilds too frequent); with the v4
+# incremental path the full barrel runs once per grid step, so span 15
+# stays the right trade.
+_BARREL_SPAN = 15
 
 
 def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
