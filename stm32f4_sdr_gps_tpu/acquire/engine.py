@@ -112,6 +112,45 @@ def acquisition_power(
     return acc
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("coherent", "n_hyp", "dft_precision"))
+def acquisition_power_hypotheses(
+    epochs: jnp.ndarray,        # (E, S) complex epochs
+    cfc: jnp.ndarray,           # (P, S) conj code FFTs
+    rot: jnp.ndarray,           # (D, S) Doppler rotations
+    coherent: int,
+    n_hyp: int,
+    dft: tuple | None = None,
+    dft_precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """All bit-edge hypotheses in ONE device program, shape (P, D, S).
+
+    The coherent block grid is tried at ``n_hyp`` offsets across one
+    block and the per-block-normalized powers are max-combined ON
+    DEVICE — one dispatch, no host round trips between hypotheses (the
+    ULTRA_ACQ 20 ms x 10-hypothesis mode used to be n_hyp sequential
+    dispatches with host max-combining).  Hypotheses are unrolled
+    program steps rather than a batch axis so peak memory stays at one
+    (coherent, D, P, S) correlation cube, same as a single-hypothesis
+    run.  Offsets/combining semantics identical to the host loop in
+    :func:`acquire`.
+    """
+    e, _ = epochs.shape
+    power = None
+    for j in range(n_hyp):
+        o = (j * coherent) // n_hyp
+        n_blocks = (e - o) // coherent
+        if n_blocks < 1:
+            continue
+        pw = acquisition_power(
+            jax.lax.slice_in_dim(epochs, o, o + n_blocks * coherent),
+            cfc, rot, coherent=coherent, dft=dft,
+            dft_precision=dft_precision,
+        ) / float(n_blocks)
+        power = pw if power is None else jnp.maximum(power, pw)
+    return power
+
+
 def _parabolic_offset_jnp(ym1, y0, yp1):
     denom = ym1 - 2.0 * y0 + yp1
     return jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
@@ -313,17 +352,10 @@ def acquire(
         # every block free of a nav-bit sign flip (the flip otherwise
         # cancels the coherent sum).  Needs e >= coherent + largest
         # offset; the last partial block is dropped per hypothesis.
-        power = None
-        for j in range(n_hyp):
-            o = (j * co) // n_hyp
-            n_blocks = (e - o) // co
-            if n_blocks < 1:
-                continue
-            pw = acquisition_power(
-                epochs[o: o + n_blocks * co], cfc, rot, coherent=co,
-                dft=dft, dft_precision=prec,
-            ) / float(n_blocks)
-            power = pw if power is None else jnp.maximum(power, pw)
+        # One fused device program — no per-hypothesis dispatches.
+        power = acquisition_power_hypotheses(
+            epochs, cfc, rot, coherent=co, n_hyp=n_hyp, dft=dft,
+            dft_precision=prec)
     power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)
     return analyze_power(power, prns, bins, plan, cfg)
 
@@ -409,6 +441,57 @@ def refine_doppler(
     k = int(np.argmax(spec))
     df = freqs[k] / 2.0
     return float(coarse_doppler_hz + df)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def refine_doppler_device(
+    epochs: jnp.ndarray,            # (E, S) complex epochs, ON device
+    code_table: jnp.ndarray,        # (C, 1023) bipolar codes
+    code_phase_chips: jnp.ndarray,  # (C,) code phase at epochs[0]
+    doppler_hz: jnp.ndarray,        # (C,) coarse Doppler
+    plan: SignalPlan = BASEBAND_PLAN,
+) -> jnp.ndarray:
+    """Batched, fully device-resident :func:`refine_doppler`.
+
+    Same math (code-rate-aided prompt replica scan, squared-prompt FFT
+    with 8x zero-padding, argmax), vectorized over channels with every
+    stage on device — only the (C,) refined-Doppler vector comes back.
+    This is what keeps the weak-signal re-anchor inside the digest
+    budget: the per-channel host version pulls E prompt values per
+    channel; this one pulls 4 bytes.
+    """
+    from ..ops.replica import sample_replicas
+    from ..ops.wipeoff import carrier_wipeoff
+
+    e, s = epochs.shape
+    doppler_hz = doppler_hz.astype(jnp.float32)
+    code_rate = (
+        jnp.float32(plan.chips_per_sample)
+        * (1.0 + doppler_hz / jnp.float32(FREQ_L1_HZ))
+    )                                               # (C,)
+    chips_per_epoch = code_rate * s
+
+    def per_epoch(carry, x):
+        phase, cp = carry
+        reps = sample_replicas(code_table, cp, code_rate, s, (0.0,))[:, 0]
+        y, phase = carrier_wipeoff(x, doppler_hz, phase,
+                                   plan.sample_rate_hz)
+        prompts = jnp.sum(y * reps, axis=-1)        # (C,)
+        return (phase, jnp.mod(cp + chips_per_epoch,
+                               jnp.float32(1023.0))), prompts
+
+    (_, _), prompts = jax.lax.scan(
+        per_epoch,
+        (jnp.zeros_like(doppler_hz),
+         code_phase_chips.astype(jnp.float32)),
+        epochs,
+    )                                               # prompts (E, C)
+    # squaring strips the BPSK nav bits; the squared tone sits at 2*df
+    pad = 8 * e
+    spec = jnp.abs(jnp.fft.fft(prompts * prompts, n=pad, axis=0))
+    freqs = jnp.fft.fftfreq(pad, d=s / plan.sample_rate_hz)
+    k = jnp.argmax(spec, axis=0)
+    return doppler_hz + freqs[k].astype(jnp.float32) / 2.0
 
 
 def acquire_epoch_vote(

@@ -199,7 +199,7 @@ class StreamingTracker:
 
         def local(st, tbl, ep):
             st2, outs = track_block(st, ep, tbl, self.plan, self.cfg)
-            return st2, digest_block(outs, self.cfg,
+            return st2, digest_block(outs, st2, self.cfg,
                                      cfg_recv.code_filter_len,
                                      cfg_recv.enable_code_filter)
 

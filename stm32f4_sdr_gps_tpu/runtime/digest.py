@@ -23,10 +23,13 @@ samples (nav_data.c:46-138 consumes the prompt sign, not the buffer).
 It also makes the full receiver runnable on transports where bulk
 device→host reads are slow or broken (docs/SCALING.md §1).
 
-Not available when the aided-sync/coherent weak-signal chain is active:
-that path genuinely needs the prompt history on the host
-(runtime.receiver._maybe_aided_sync); the receiver falls back to full
-readback there.
+The aided-sync/coherent weak-signal chain (runtime.receiver
+``_maybe_aided_sync``) is ALSO digest-fed: the prompt sign-flip
+histogram mod ``codes_in_bit`` (``flip_hist``, the sufficient statistic
+of track.aided_sync.find_bit_boundary), the block-edge signs for
+cross-block flips, and the block-start code phase / end-of-block swap
+residue the engagement logic needs are all reduced on device — the
+(T, C) prompt history never leaves it even at 26-30 dBHz.
 """
 
 from __future__ import annotations
@@ -57,15 +60,30 @@ class BlockDigest(NamedTuple):
     cn0_m2: jnp.ndarray          # (C,) f32 — mean prompt power (clean)
     cn0_m4: jnp.ndarray          # (C,) f32 — mean squared power (clean)
     cn0_n: jnp.ndarray           # (C,) i32 — clean epochs used
+    # aided-sync statistics (track.aided_sync fed without (T, C) readback)
+    flip_hist: jnp.ndarray       # (cib, C) i32 — prompt-I sign flips by
+    #                              GLOBAL epoch residue mod codes_in_bit
+    first_ip_sign: jnp.ndarray   # (C,) i8 — prompt-I sign, first epoch
+    last_ip_sign: jnp.ndarray    # (C,) i8 — prompt-I sign, last epoch
+    code_phase_first: jnp.ndarray  # (C,) f32 — code phase at block start
+    swap_residue: jnp.ndarray    # (C,) i32 — last_swap_epoch % cib at end
 
 
-def digest_block(outs, cfg: TrackConfig, code_filter_len: int,
+def digest_block(outs, final_state, cfg: TrackConfig, code_filter_len: int,
                  enable_code_filter: bool) -> BlockDigest:
     """Reduce TrackOutputs (T, C) to a BlockDigest — pure jnp, runs
-    under the same jit as the tracking scan."""
+    under the same jit as the tracking scan.  ``final_state`` is the
+    TrackState the scan returned (its epoch ledger dates the block and
+    its swap ledger locates the current bit grid)."""
     ready = outs.bit_ready
     t_cnt, c_cnt = ready.shape
-    cap = t_cnt // max(cfg.codes_in_bit, 1) + 2
+    # Capacity: one bit per codes_in_bit epochs once synced, plus slack
+    # for pre-sync flip re-basing, which can complete spurious short
+    # "bits" faster than the bit cadence (nav_data.c:105-129 rebases the
+    # boundary on every on-grid flip).  bit_count is clamped to cap so a
+    # pathological block drops the LATEST events instead of indexing
+    # past the compacted rows.
+    cap = t_cnt // max(cfg.codes_in_bit, 1) + 8
 
     # compact ragged bit events to (cap, C): stable sort puts ready
     # epochs first in time order
@@ -73,7 +91,7 @@ def digest_block(outs, cfg: TrackConfig, code_filter_len: int,
     key = jnp.where(ready, t_idx, t_cnt + t_idx)
     order = jnp.argsort(key, axis=0, stable=True)[:cap]
     take = lambda a: jnp.take_along_axis(a, order, axis=0)  # noqa: E731
-    bit_count = ready.sum(axis=0).astype(jnp.int32)
+    bit_count = jnp.minimum(ready.sum(axis=0), cap).astype(jnp.int32)
     bit_value = take(outs.bit_value.astype(jnp.int8))
     bit_epoch = take(outs.bit_epoch.astype(jnp.int32))
 
@@ -118,6 +136,28 @@ def digest_block(outs, cfg: TrackConfig, code_filter_len: int,
         -1,
     )
 
+    # sign-flip histogram by GLOBAL epoch residue mod codes_in_bit — the
+    # sufficient statistic of the aided bit-boundary search
+    # (track.aided_sync.boundary_from_flip_hist).  The flip entering
+    # epoch t lands in bin (epoch0 + t) % cib, matching
+    # find_bit_boundary's convention; the block-edge flip (first epoch
+    # vs the previous block's last) is added by the host from
+    # first/last_ip_sign.
+    cib = max(cfg.codes_in_bit, 1)
+    epoch0 = final_state.epoch_idx - t_cnt          # (C,) block start
+    signs = outs.ip > 0
+    flips = signs[1:] != signs[:-1]                 # (T-1, C)
+    res = jnp.mod(
+        epoch0[None, :] + jnp.arange(1, t_cnt, dtype=jnp.int32)[:, None],
+        cib,
+    )                                               # (T-1, C)
+    onehot = (res[:, :, None]
+              == jnp.arange(cib, dtype=jnp.int32)[None, None, :])
+    flip_hist = jnp.sum(
+        (flips[:, :, None] & onehot).astype(jnp.int32), axis=0
+    ).T                                             # (cib, C)
+    sgn = lambda v: jnp.where(v > 0, 1, -1).astype(jnp.int8)  # noqa: E731
+
     return BlockDigest(
         bit_count=bit_count,
         bit_value=bit_value,
@@ -133,6 +173,12 @@ def digest_block(outs, cfg: TrackConfig, code_filter_len: int,
         cn0_m2=m2,
         cn0_m4=m4 * m2s * m2s,
         cn0_n=n_clean,
+        flip_hist=flip_hist,
+        first_ip_sign=sgn(outs.ip[0]),
+        last_ip_sign=sgn(outs.ip[-1]),
+        code_phase_first=cp[0],
+        swap_residue=jnp.mod(final_state.last_swap_epoch, cib)
+        .astype(jnp.int32),
     )
 
 

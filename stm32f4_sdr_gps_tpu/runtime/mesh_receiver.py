@@ -115,6 +115,8 @@ class MeshReceiver(Receiver):
         cfg = self.config
         spe = cfg.plan.samples_per_epoch
         n_epochs = len(samples) // spe
+        epochs = jnp.asarray(
+            samples[: n_epochs * spe].reshape(n_epochs, spe), jnp.complex64)
         if self._digest_active:
             # per-shard device digest: the (T, C) outputs never leave
             # the devices; only the gathered ~kB digest reaches the host
@@ -123,20 +125,23 @@ class MeshReceiver(Receiver):
             ).time():
                 d = self.tracker.process_digest(
                     samples[: n_epochs * spe], cfg)
+            d = jax.tree.map(np.asarray, d)
             with self.profiler.stage("decode").time():
                 self._consume_digest(d, n_epochs)
+            # aided bit sync operates on the sharded state directly:
+            # the engage updates are elementwise jnp.where ops, so the
+            # result feeds straight back into the sharded scan
             self.track_state = self.tracker.state
+            self._aided_sync_from_digest(d, n_epochs, epochs)
+            self.tracker.state = self.track_state
             self.epoch_cursor += n_epochs
             return
         with self.profiler.stage("track", budget_s=n_epochs * 1e-3).time():
             outs = self.tracker.process(samples[: n_epochs * spe])
         with self.profiler.stage("decode").time():
             self._consume_outputs(outs, n_epochs)
-        # aided bit sync operates on the sharded state directly: the
-        # engage updates are elementwise jnp.where ops, so the result
-        # feeds straight back into the sharded scan (pjit re-shards)
         self.track_state = self.tracker.state
-        self._maybe_aided_sync(outs, n_epochs, samples[: n_epochs * spe])
+        self._maybe_aided_sync(outs, n_epochs, epochs)
         self.tracker.state = self.track_state
         self.epoch_cursor += n_epochs
         # track_state doubles as the checkpoint alias (runtime.checkpoint

@@ -54,7 +54,7 @@ def _track_and_digest(state, epochs, code_table, plan, cfg,
     """Tracking scan + on-device block digest in ONE jit: the (T, C)
     outputs never materialize on the host (runtime.digest)."""
     state, outs = track_block(state, epochs, code_table, plan, cfg)
-    return state, digest_block(outs, cfg, code_filter_len,
+    return state, digest_block(outs, state, cfg, code_filter_len,
                                enable_code_filter)
 
 
@@ -79,8 +79,9 @@ def _track_and_digest_carried(ps, epochs, code_table, plan, cfg,
     ps2, raw = pallas_track_scan(ps, epochs, code_table, 0, plan=plan,
                                  cfg=cfg, interpret=cfg.pallas_interpret)
     outs = outputs_from_raw(raw, cfg)
-    return ps2, state_to_track_state(ps2), digest_block(
-        outs, cfg, code_filter_len, enable_code_filter)
+    ts = state_to_track_state(ps2)
+    return ps2, ts, digest_block(
+        outs, ts, cfg, code_filter_len, enable_code_filter)
 
 
 @dataclass
@@ -160,6 +161,47 @@ def _m2m4_cn0(ip: np.ndarray, qp: np.ndarray,
     return float(10.0 * np.log10(pd / pn / epoch_s))
 
 
+def dejitter_boundary(ch: ChannelStatus, boundary: int, cib: int) -> int:
+    """Snap a detected subframe boundary to the channel's nav-bit grid.
+
+    Bit-edge detection can slip +/-1 epoch under noise when the edge
+    lies near an epoch midpoint, which would shift the reconstructed
+    pseudorange by a full ms (300 km) — the error class behind the
+    firmware's accurate-sync refinement (nav_data.c:145-218).
+    Boundaries repeat on the bit grid, so the median residue of
+    recent detections identifies and removes isolated slips.
+    """
+    res = boundary % cib
+    hist = ch.boundary_residues
+    hist.append(res)
+    del hist[:-5]
+    if len(hist) >= 3:
+        med = int(np.median(hist))
+        delta = (res - med + cib // 2) % cib - cib // 2
+        boundary -= delta
+    return boundary
+
+
+def push_channel_bit(ch: ChannelStatus, value: int, epoch: int,
+                     codes_in_bit: int) -> None:
+    """One demodulated nav bit → framer → subframe/ephemeris/ledger.
+
+    Module-level so per-process shard decoders (runtime.multiprocess)
+    run the exact decode path the single-process Receiver does."""
+    ch.bit_count += 1
+    for sf in ch.framer.push_bit(value, epoch):
+        decode_subframe(sf.bits, ch.eph)
+        ch.eph.sat = ch.prn
+        ch.subframe_count += 1
+        # boundary the HOW TOW labels = subframe start + 6 s
+        # (300 bits x codes_in_bit ms per bit)
+        sf_ms = WORDS_IN_SUBFRAME * WORD_LENGTH_BITS * codes_in_bit
+        boundary = dejitter_boundary(
+            ch, sf.start_epoch_ms + sf_ms, codes_in_bit)
+        ch.subframe_time_ms = boundary
+        ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
+
+
 @dataclass
 class ReceiverReport:
     """Result of processing a capture."""
@@ -190,8 +232,12 @@ class Receiver:
         self._last_rtcm_ms = 0
         self._last_reacq_ms = 0
         self._status_cb = None
-        self._ip_hist: Optional[np.ndarray] = None
-        self._ip_hist_start = 0
+        # aided-sync window state: accumulated sign-flip histogram
+        # (cib, C), epochs accumulated, and the previous block's last
+        # prompt sign per channel (cross-block flip detection)
+        self._flip_hist: Optional[np.ndarray] = None
+        self._flip_hist_ms = 0
+        self._flip_prev_sign: Optional[np.ndarray] = None
         # carried in-kernel-scan state (ramp cache etc.); valid only
         # while track_state IS _pallas_carry_ref (identity check —
         # any mutation builds a new NamedTuple and invalidates it)
@@ -296,14 +342,11 @@ class Receiver:
     def _digest_active(self) -> bool:
         """Device-digest readback mode (runtime.digest): on unless a
         consumer genuinely needs the full (T, C) outputs on the host —
-        the aided-sync weak-signal chain (prompt history) or correlator
-        diagnostics."""
+        only correlator diagnostics do.  The aided-sync weak-signal
+        chain is digest-fed (flip_hist + refine_doppler_device), so the
+        coherent 26-30 dBHz path runs fully device-resident."""
         cfg = self.config
-        return (
-            cfg.device_digest
-            and not (cfg.track.coherent_pll and cfg.aided_sync_window_ms)
-            and not cfg.track.emit_correlators
-        )
+        return cfg.device_digest and not cfg.track.emit_correlators
 
     def process_block(self, samples: np.ndarray) -> None:
         """Stages 3-5 for one block of whole epochs."""
@@ -344,8 +387,10 @@ class Receiver:
                         cfg.plan, cfg.track, cfg.code_filter_len,
                         cfg.enable_code_filter
                     )
+            d = jax.tree.map(np.asarray, d)
             with self.profiler.stage("decode").time():
                 self._consume_digest(d, n_epochs)
+            self._aided_sync_from_digest(d, n_epochs, epochs)
             self.epoch_cursor += n_epochs
             return
         with self.profiler.stage("track", budget_s=n_epochs * 1e-3).time():
@@ -355,45 +400,81 @@ class Receiver:
             )
         with self.profiler.stage("decode").time():
             self._consume_outputs(outs, n_epochs)
-        self._maybe_aided_sync(outs, n_epochs,
-                               samples[: n_epochs * spe])
+        self._maybe_aided_sync(outs, n_epochs, epochs)
         self.epoch_cursor += n_epochs
 
-    def _maybe_aided_sync(self, outs, n_epochs: int,
-                          samples: np.ndarray) -> None:
+    def _maybe_aided_sync(self, outs, n_epochs: int, epochs) -> None:
+        """Aided-sync evaluation for the full-readback path: the same
+        flip-histogram statistics the device digest computes, built on
+        the host from the (T, C) outputs, feeding the shared decision
+        logic (_aided_sync_step)."""
+        cfg = self.config
+        if not (cfg.track.coherent_pll and cfg.aided_sync_window_ms):
+            return
+        cib = cfg.track.codes_in_bit
+        ip = np.asarray(outs.ip)
+        signs = ip > 0
+        flips = signs[1:] != signs[:-1]
+        res = (self.epoch_cursor + np.arange(1, len(ip))) % cib
+        hist = np.zeros((cib, ip.shape[1]), np.int64)
+        for c in range(ip.shape[1]):
+            hist[:, c] = np.bincount(res[flips[:, c]], minlength=cib)
+        first = np.where(signs[0], 1, -1).astype(np.int8)
+        last = np.where(signs[-1], 1, -1).astype(np.int8)
+        sync_last = np.asarray(outs.period_sync_ok)[-1].astype(bool)
+        grid_now = np.asarray(self.track_state.last_swap_epoch) % cib
+        cp0 = np.asarray(outs.code_phase_chips)[0]
+        self._aided_sync_step(hist, first, last, sync_last, grid_now,
+                              cp0, n_epochs, epochs)
+
+    def _aided_sync_from_digest(self, d, n_epochs: int, epochs) -> None:
+        """Aided-sync evaluation from the device digest (numpy leaves):
+        no (T, C) readback anywhere on this path."""
+        cfg = self.config
+        if not (cfg.track.coherent_pll and cfg.aided_sync_window_ms):
+            return
+        self._aided_sync_step(
+            d.flip_hist.astype(np.int64), d.first_ip_sign, d.last_ip_sign,
+            d.period_sync_ok.astype(bool), d.swap_residue,
+            d.code_phase_first, n_epochs, epochs,
+        )
+
+    def _aided_sync_step(self, hist, first_sign, last_sign, sync_last,
+                         grid_now, cp0, n_epochs: int, epochs) -> None:
         """Histogram bit-boundary search + squared-prompt Doppler
         re-anchor (track.aided_sync), evaluated every full prompt
         window.  Handles the two failure modes the run-time counters
         have at the C/N0 the coherent PLL targets: they may never
         declare sync, or worse, a random-walk excursion declares sync
         on a WRONG boundary which grid-locking would then freeze — a
-        confident histogram that disagrees overrides it."""
-        cfg = self.config
-        if not (cfg.track.coherent_pll and cfg.aided_sync_window_ms):
-            return
-        cib = cfg.track.codes_in_bit
-        prompts = np.asarray(outs.ip) + 1j * np.asarray(outs.qp)
-        if self._ip_hist is None:
-            self._ip_hist = prompts
-            self._ip_hist_start = self.epoch_cursor
-        else:
-            self._ip_hist = np.concatenate([self._ip_hist, prompts])
-        w = cfg.aided_sync_window_ms
-        if len(self._ip_hist) > w:
-            drop = len(self._ip_hist) - w
-            self._ip_hist = self._ip_hist[drop:]
-            self._ip_hist_start += drop
-        if len(self._ip_hist) < w:
-            return
-        from ..acquire.engine import refine_doppler
-        from ..track.aided_sync import engage_bit_sync, find_bit_boundary
+        confident histogram that disagrees overrides it.
 
-        sync_last = np.asarray(outs.period_sync_ok)[-1].astype(bool)
-        phases, confs = find_bit_boundary(
-            np.real(self._ip_hist), cib, self._ip_hist_start
-        )
-        grid_now = np.asarray(self.track_state.last_swap_epoch) % cib
-        n_chan = len(confs)
+        ``hist`` is this block's (cib, C) sign-flip histogram keyed by
+        global epoch residue; ``epochs`` is the block's (T, S) device
+        array (re-anchor input).  All statistics are digest-sized."""
+        cfg = self.config
+        cib = cfg.track.codes_in_bit
+        n_chan = hist.shape[1]
+        # cross-block flip: the first epoch's sign vs the previous
+        # block's last (the in-block histogram can't see that edge)
+        if (self._flip_prev_sign is not None
+                and len(self._flip_prev_sign) == n_chan):
+            cross = self._flip_prev_sign != first_sign
+            hist[self.epoch_cursor % cib] += cross.astype(np.int64)
+        self._flip_prev_sign = np.asarray(last_sign)
+        if self._flip_hist is None or self._flip_hist.shape != hist.shape:
+            self._flip_hist = np.zeros_like(hist)
+            self._flip_hist_ms = 0
+        self._flip_hist += hist
+        self._flip_hist_ms += n_epochs
+        if self._flip_hist_ms < cfg.aided_sync_window_ms:
+            return
+        from ..track.aided_sync import (boundary_from_flip_hist,
+                                        engage_bit_sync)
+
+        phases, confs = boundary_from_flip_hist(self._flip_hist)
+        self._flip_hist = None   # fresh window each evaluation
+        self._flip_hist_ms = 0
         if len(self._pending_phase) != n_chan:
             self._pending_phase = np.full(n_chan, -1)
             self._pending_cnt = np.zeros(n_chan, int)
@@ -440,16 +521,25 @@ class Receiver:
             # (beyond the coherent loop's pull range), and a tracking
             # Costas keeps the prompts near the real axis, so only a
             # code-wiped measurement can see the NCO's frequency error.
-            cp0 = np.asarray(outs.code_phase_chips)[0]
+            # All channels refine in ONE device program; only the (C,)
+            # Doppler vector is read back (refine_doppler_device).
+            from ..acquire.engine import refine_doppler_device
+
+            span = min(512, n_epochs)
+            prns = [ch.prn for ch in self.channels]
+            if len(prns) < n_chan:
+                # mesh ghost padding repeats channel 0
+                # (MeshReceiver.start_tracking)
+                prns = prns + [prns[0]] * (n_chan - len(prns))
+            table = jnp.asarray(ca_table_bipolar(prns[:n_chan]))
             dops = np.asarray(self.track_state.doppler_hz)
-            new_dops = dops.copy()
-            for c, ch in enumerate(self.channels):
-                if c < n_chan and (engage[c] or unhealthy[c]):
-                    new_dops[c] = float(refine_doppler(
-                        samples, ch.prn, float(cp0[c]), float(dops[c]),
-                        cfg.plan,
-                        num_epochs=min(512, n_epochs),
-                    ))
+            refined = np.asarray(refine_doppler_device(
+                epochs[:span], table,
+                jnp.asarray(cp0, jnp.float32),
+                jnp.asarray(dops, jnp.float32), cfg.plan,
+            ))
+            acted_mask = engage | unhealthy
+            new_dops = np.where(acted_mask[: len(dops)], refined, dops)
             if engage.any():
                 self.track_state = engage_bit_sync(
                     self.track_state, phases,
@@ -472,7 +562,6 @@ class Receiver:
                 acted, 0, self._aided_low_conf)
             self._pending_cnt = np.where(engage, 0, self._pending_cnt)
             self._pending_phase = np.where(engage, -1, self._pending_phase)
-        self._ip_hist = None  # fresh window each evaluation
 
     def _consume_outputs(self, outs, n_epochs: int) -> None:
         """Host side: bits → framers → subframes → ephemeris; solve."""
@@ -537,31 +626,15 @@ class Receiver:
                           epoch: int) -> None:
         """One demodulated nav bit → framer → subframe/ephemeris/ledger
         (shared by the full-readback and digest paths)."""
-        cfg = self.config
-        ch.bit_count += 1
-        for sf in ch.framer.push_bit(value, epoch):
-            decode_subframe(sf.bits, ch.eph)
-            ch.eph.sat = ch.prn
-            ch.subframe_count += 1
-            # boundary the HOW TOW labels = subframe start + 6 s
-            # (300 bits x codes_in_bit ms per bit)
-            sf_ms = (WORDS_IN_SUBFRAME * WORD_LENGTH_BITS
-                     * cfg.track.codes_in_bit)
-            boundary = self._dejitter_boundary(
-                ch, sf.start_epoch_ms + sf_ms, cfg.track.codes_in_bit,
-            )
-            ch.subframe_time_ms = boundary
-            ch.subframe_tow_s = getbitu(sf.bits, 30, 17) * 6.0
+        push_channel_bit(ch, value, epoch, self.config.track.codes_in_bit)
 
     def _consume_digest(self, d, n_epochs: int) -> None:
-        """Host side of the device-resident loop: the BlockDigest is
-        the only device→host transfer (runtime.digest)."""
-        import jax
-
+        """Host side of the device-resident loop: the BlockDigest
+        (already pulled to numpy by the caller — the only device→host
+        transfer, runtime.digest)."""
         from .digest import cn0_from_moments
 
         cfg = self.config
-        d = jax.tree.map(np.asarray, d)
         for c, ch in enumerate(self.channels):
             for k in range(int(d.bit_count[c])):
                 self._push_channel_bit(
@@ -686,25 +759,8 @@ class Receiver:
     @staticmethod
     def _dejitter_boundary(ch: ChannelStatus, boundary: int,
                            cib: int) -> int:
-        """Snap a detected subframe boundary to the channel's nav-bit
-        grid.
-
-        Bit-edge detection can slip +/-1 epoch under noise when the edge
-        lies near an epoch midpoint, which would shift the reconstructed
-        pseudorange by a full ms (300 km) — the error class behind the
-        firmware's accurate-sync refinement (nav_data.c:145-218).
-        Boundaries repeat on the bit grid, so the median residue of
-        recent detections identifies and removes isolated slips.
-        """
-        res = boundary % cib
-        hist = ch.boundary_residues
-        hist.append(res)
-        del hist[:-5]
-        if len(hist) >= 3:
-            med = int(np.median(hist))
-            delta = (res - med + cib // 2) % cib - cib // 2
-            boundary -= delta
-        return boundary
+        """See module-level :func:`dejitter_boundary`."""
+        return dejitter_boundary(ch, boundary, cib)
 
     def _filtered_code_phase(self, cp_hist: np.ndarray,
                              doppler_hz: float) -> float:

@@ -29,6 +29,41 @@ import numpy as np
 from .state import TrackState
 
 
+def boundary_from_flip_hist(
+    counts: np.ndarray,          # (cib,) or (cib, C) flip counts per residue
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Boundary phase + confidence from a sign-flip histogram whose
+    bins are GLOBAL epoch residues mod ``cib``.
+
+    This is the decision half of :func:`find_bit_boundary`, split out so
+    a device-computed histogram (runtime.digest ``flip_hist``) feeds the
+    same math without the (T, C) prompt history ever reaching the host.
+    Returns ``(boundary_phase, confidence)`` per channel.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    if counts.ndim == 1:
+        counts = counts[:, None]
+    cib, c_cnt = counts.shape
+    phases = np.zeros(c_cnt, np.int64)
+    confs = np.zeros(c_cnt)
+    for c in range(c_cnt):
+        col = counts[:, c]
+        # a bit edge near an epoch-fraction of 0.5 splits its flips
+        # between two adjacent residues — score adjacent PAIRS so the
+        # detection doesn't lose half its energy to the split
+        pair = col + np.roll(col, -1)
+        b = int(np.argmax(pair))
+        keep = np.ones(cib, bool)
+        keep[[(b - 1) % cib, b, (b + 1) % cib]] = False  # overlapping pairs
+        rest = pair[keep]
+        confs[c] = (pair[b] - rest.mean()) / (rest.std() + 1e-9)
+        # within the winning pair, the stronger bin is the boundary
+        # (a sharp edge puts everything in one bin; a split edge makes
+        # either choice correct to within one epoch)
+        phases[c] = b if col[b] >= col[(b + 1) % cib] else ((b + 1) % cib)
+    return phases, confs
+
+
 def find_bit_boundary(
     ip_history: np.ndarray,      # (T,) or (T, C) prompt I history
     cib: int,
@@ -47,25 +82,10 @@ def find_bit_boundary(
     s = np.where(ip > 0, 1, -1)
     flips = s[1:] != s[:-1]                      # flip entering epoch t
     phase_bins = (np.arange(1, t_cnt) + first_epoch) % cib
-    phases = np.zeros(c_cnt, np.int64)
-    confs = np.zeros(c_cnt)
-    for c in range(c_cnt):
-        counts = np.bincount(phase_bins[flips[:, c]], minlength=cib)
-        # a bit edge near an epoch-fraction of 0.5 splits its flips
-        # between two adjacent residues — score adjacent PAIRS so the
-        # detection doesn't lose half its energy to the split
-        pair = counts + np.roll(counts, -1)
-        b = int(np.argmax(pair))
-        keep = np.ones(cib, bool)
-        keep[[(b - 1) % cib, b, (b + 1) % cib]] = False  # overlapping pairs
-        rest = pair[keep]
-        confs[c] = (pair[b] - rest.mean()) / (rest.std() + 1e-9)
-        # within the winning pair, the stronger bin is the boundary
-        # (a sharp edge puts everything in one bin; a split edge makes
-        # either choice correct to within one epoch)
-        phases[c] = b if counts[b] >= counts[(b + 1) % cib] else (
-            (b + 1) % cib)
-    return phases, confs
+    counts = np.stack(
+        [np.bincount(phase_bins[flips[:, c]], minlength=cib)
+         for c in range(c_cnt)], axis=1)
+    return boundary_from_flip_hist(counts)
 
 
 def engage_bit_sync(

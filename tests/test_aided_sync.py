@@ -7,6 +7,7 @@ loop (see config.TrackConfig.coherent_pll).
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from stm32f4_sdr_gps_tpu.config import (
     BASEBAND_PLAN,
@@ -67,10 +68,78 @@ def test_engage_produces_clean_grid():
     assert got == planted or got == [1 - b for b in planted]
 
 
-def test_receiver_engages_aided_sync_at_30dbhz():
+def test_digest_flip_hist_matches_host_statistic():
+    """The device digest's flip_hist must be the exact sufficient
+    statistic the host aided search computes from the (T, C) prompts —
+    same bins, same residue convention — so the digest-fed path and the
+    full-readback path make identical decisions."""
+    from stm32f4_sdr_gps_tpu.runtime.digest import digest_block
+    from stm32f4_sdr_gps_tpu.track.scan import track_block
+
+    sat = SimSat(prn=4, doppler_hz=800.0, code_phase_chips=100.0,
+                 cn0_dbhz=33.0, codes_in_bit=CIB,
+                 nav_bits=list(np.random.default_rng(3).integers(0, 2, 40)))
+    start = 37                       # non-trivial global epoch offset
+    E = 400
+    x, _ = simulate_capture([sat], num_epochs=E, seed=2)
+    epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
+    st = init_state(1, np.array([100.0]), np.array([800.0]),
+                    start_epoch=start)
+    st2, outs = track_block(st, epochs, jnp.asarray(ca_table_bipolar([4])),
+                            PLAN, COHERENT_TRACK)
+    d = digest_block(outs, st2, COHERENT_TRACK, 100, True)
+
+    ip = np.asarray(outs.ip)[:, 0]
+    signs = ip > 0
+    flips = signs[1:] != signs[:-1]
+    res = (start + np.arange(1, E)) % CIB
+    want = np.bincount(res[flips], minlength=CIB)
+    np.testing.assert_array_equal(np.asarray(d.flip_hist)[:, 0], want)
+    assert int(d.first_ip_sign[0]) == (1 if signs[0] else -1)
+    assert int(d.last_ip_sign[0]) == (1 if signs[-1] else -1)
+    assert float(d.code_phase_first[0]) == float(
+        np.asarray(outs.code_phase_chips)[0, 0])
+    assert int(d.swap_residue[0]) == int(
+        np.asarray(st2.last_swap_epoch)[0]) % CIB
+
+
+def test_refine_doppler_device_matches_host():
+    """Batched device refine_doppler returns the host version's answer
+    for every channel (same replica scan, same squared-prompt FFT)."""
+    from stm32f4_sdr_gps_tpu.acquire.engine import (
+        refine_doppler,
+        refine_doppler_device,
+    )
+
+    prns = [4, 9]
+    true_dop = [1234.0, -2650.0]
+    sats = [SimSat(prn=p, doppler_hz=d, code_phase_chips=50.0 * i,
+                   cn0_dbhz=40.0, codes_in_bit=CIB,
+                   nav_bits=[1, 0] * 20)
+            for i, (p, d) in enumerate(zip(prns, true_dop))]
+    E = 128
+    x, _ = simulate_capture(sats, num_epochs=E, seed=7)
+    epochs = jnp.asarray(x.reshape(E, PLAN.samples_per_epoch))
+    cps = np.array([0.0, 50.0])
+    coarse = np.array([1200.0, -2600.0])
+    dev = np.asarray(refine_doppler_device(
+        epochs, jnp.asarray(ca_table_bipolar(prns)),
+        jnp.asarray(cps, jnp.float32), jnp.asarray(coarse, jnp.float32),
+        PLAN))
+    for i, prn in enumerate(prns):
+        host = refine_doppler(x, prn, cps[i], coarse[i], PLAN,
+                              num_epochs=E)
+        assert abs(dev[i] - host) < 0.5, (prn, dev[i], host)
+        assert abs(dev[i] - true_dop[i]) < 4.0, (prn, dev[i])
+
+
+@pytest.mark.parametrize("device_digest", [True, False])
+def test_receiver_engages_aided_sync_at_30dbhz(device_digest):
     """Full receiver path at 30 dBHz from an acquisition handoff: the
     run-time counters can't sync there; the aided search engages the
-    coherent loop and grid-locked bits flow."""
+    coherent loop and grid-locked bits flow.  Runs both the digest-fed
+    (device-resident) and the full-readback paths — they share the
+    decision logic and must both engage."""
     stream = build_bitstream(CANONICAL_EPH, start_tow_6s=40,
                              num_subframes=2, subframe_ids=(1, 2))
     n_bits = 400
@@ -83,6 +152,7 @@ def test_receiver_engages_aided_sync_at_30dbhz():
     cfg = ReceiverConfig(
         prns=(9,), track=COHERENT_TRACK,
         enable_position=False, aided_sync_window_ms=3000,
+        device_digest=device_digest,
     )
     rx = Receiver(cfg)
     ch = rx.channels[0]

@@ -115,7 +115,13 @@ def test_dryrun_multichip_entrypoints():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    state, outs = fn(*args)
+    ps2, ts, digest = fn(*args)
+    # production per-block program: carried kernel state + TrackState +
+    # on-device BlockDigest over 32 channels
+    assert np.asarray(digest.bit_count).shape == (32,)
+    assert np.asarray(ts.code_phase_chips).shape == (32,)
+    fn2, args2 = ge.entry_jnp_scan()
+    state, outs = fn2(*args2)
     assert np.asarray(outs.ip).shape == (100, 32)
     ge.dryrun_multichip(min(8, len(jax.devices())))
 
