@@ -135,5 +135,119 @@ if proc_id == 0:
                                rtol=1e-6, atol=1e-3)
     np.testing.assert_allclose(got_ip, np.asarray(ref_outs.ip),
                                rtol=1e-5, atol=1e-2)
+
+# ---- stage 3: PER-PROCESS nav decode of the local channel shard --------
+# (VERDICT r3 item 7: the gps_master role distributed.)  8 satellites,
+# compressed time; each process's ShardDecoder frames/decodes ONLY the
+# channels its devices hold; the tiny observables gather to every
+# process and the relative pseudoranges must match the planted delays.
+from stm32f4_sdr_gps_tpu.config import (  # noqa: E402
+    CLIGHT, FREQ_L1_HZ, ReceiverConfig,
+)
+from stm32f4_sdr_gps_tpu.runtime.multiprocess import (  # noqa: E402
+    ShardDecoder,
+    gather_and_solve,
+    local_digest_block,
+)
+from stm32f4_sdr_gps_tpu.signal.nav_message import build_bitstream  # noqa: E402
+from stm32f4_sdr_gps_tpu.signal.scenarios import CANONICAL_EPH  # noqa: E402
+
+CIB = 3
+PRNS8 = (2, 7, 15, 24, 5, 9, 18, 29)
+DELAYS = (1.773, 6.402, 3.255, 9.911, 2.5, 7.7, 4.4, 8.8)
+DOPS = (-2500.0, 800.0, 3100.0, -400.0, 1500.0, -3300.0, 600.0, -900.0)
+prefix = np.tile([0, 1], 60).astype(np.int8)
+sats3 = []
+for prn, delay, dop in zip(PRNS8, DELAYS, DOPS):
+    body = build_bitstream(dict(CANONICAL_EPH), start_tow_6s=58800,
+                           num_subframes=4, subframe_ids=(5, 1, 2, 3))
+    sats3.append(SimSat(prn=prn, doppler_hz=dop, cn0_dbhz=49.0,
+                        nav_bits=np.concatenate([prefix, body]),
+                        codes_in_bit=CIB, delay_ms=delay))
+E3 = 120 * CIB + 4 * 300 * CIB + 300
+x3, truth3 = simulate_capture(sats3, num_epochs=E3, seed=9)
+
+tcfg3 = TrackConfig(codes_in_bit=CIB, pll_bad_state_threshold=10**9)
+rcfg3 = ReceiverConfig(prns=PRNS8, track=tcfg3, enable_position=False,
+                       enable_code_filter=False)
+phases3 = np.array([truth3.code_phase_at_epoch(i, 0)
+                    for i in range(len(PRNS8))])
+dops3 = np.array(DOPS)
+st3 = init_state(len(PRNS8), phases3, dops3,
+                 window=tcfg3.pll_check_window)
+tracker3 = StreamingTracker(st3, ca_table_bipolar(PRNS8), mesh, PLAN,
+                            tcfg3)
+decoder = None
+spe = PLAN.samples_per_epoch
+blk = 500
+cursor = 0
+for i in range(0, E3 - blk + 1, blk):
+    d = tracker3.process_digest(x3[i * spe: (i + blk) * spe], rcfg3)
+    d_local, col0 = local_digest_block(d)
+    if decoder is None:
+        n_local = d_local.bit_count.shape[0]
+        decoder = ShardDecoder(PRNS8[col0: col0 + n_local], rcfg3,
+                               start_epoch=0)
+        assert n_local == len(PRNS8) // num_procs, (col0, n_local)
+    decoder.consume_digest(d_local, blk)
+    cursor += blk
+
+# every process decoded ONLY its shard
+assert all(ch.subframe_count >= 3 for ch in decoder.channels), [
+    (ch.prn, ch.subframe_count) for ch in decoder.channels]
+assert all(ch.eph.has_full_set for ch in decoder.channels)
+
+obs, _ = gather_and_solve(decoder, cursor - 1, solve=False)
+assert obs is not None and len(obs) == len(PRNS8)
+if proc_id == 0:
+    by_prn = {o.sat: o.P for o in obs}
+    ref_i = int(np.argmin(DELAYS))
+    # code-Doppler drift of each delay over the capture, in ms
+    # (delay_eff = delay - (fd/fL1)*t; t and delays both in ms)
+    drift_ms = np.array(DOPS) / FREQ_L1_HZ * cursor
+    want = (np.array(DELAYS) - drift_ms) * CLIGHT / 1000.0
+    got = np.array([by_prn[p] for p in PRNS8])
+    rel_err = (got - got[ref_i]) - (want - want[ref_i])
+    # bound covers 8-PRN cross-correlation bias on the DLL (~0.2 chip);
+    # single-process precision is pinned by test_receiver
+    assert np.max(np.abs(rel_err)) < 100.0, rel_err
+    print("MULTIHOST_DECODE_OK", flush=True)
+
+# ---- stage 4 (RUN_SLOW): real-time capture -> distributed decode -> FIX
+if os.environ.get("RUN_SLOW") == "1":
+    from stm32f4_sdr_gps_tpu.signal.scenarios import fix_scenario  # noqa: E402
+
+    sc = fix_scenario(num_epochs=29_000)
+    tcfg4 = TrackConfig(pll_bad_state_threshold=10**9)
+    rcfg4 = ReceiverConfig(prns=sc.prns, track=tcfg4,
+                           enable_position=False)
+    # 4 real channels + 4 ghost copies pad the 8-device mesh; the
+    # gather dedupes by PRN (first occurrence wins)
+    prns4 = list(sc.prns) + list(sc.prns)
+    ph4 = np.array([sc.truth.code_phase_at_epoch(i % 4, 0)
+                    for i in range(8)])
+    dp4 = np.array([sc.truth.sats[i % 4].doppler_hz for i in range(8)])
+    st4 = init_state(8, ph4, dp4, window=tcfg4.pll_check_window)
+    tracker4 = StreamingTracker(st4, ca_table_bipolar(prns4), mesh, PLAN,
+                                tcfg4)
+    dec4 = None
+    cur4 = 0
+    for i in range(0, 29_000 - blk + 1, blk):
+        d = tracker4.process_digest(sc.samples[i * spe: (i + blk) * spe],
+                                    rcfg4)
+        d_local, col0 = local_digest_block(d)
+        if dec4 is None:
+            n_local = d_local.bit_count.shape[0]
+            dec4 = ShardDecoder(prns4[col0: col0 + n_local], rcfg4)
+        dec4.consume_digest(d_local, blk)
+        cur4 += blk
+    obs4, sol4 = gather_and_solve(dec4, cur4 - 1)
+    assert sol4 is not None and sol4.ok, "distributed fix failed"
+    err_m = float(np.linalg.norm(np.asarray(sol4.rr) - sc.rr_true))
+    assert err_m < 150.0, err_m
+    if proc_id == 0:
+        print(f"MULTIHOST_FIX_OK err={err_m:.1f}m", flush=True)
+
+if proc_id == 0:
     print("MULTIHOST_OK", flush=True)
 jax.distributed.shutdown()
