@@ -1,13 +1,14 @@
-// Firmware-semantics single-channel 1-bit GPS receiver (parity oracle).
+// Firmware-semantics multi-channel 1-bit GPS receiver (parity oracle).
 //
-// A COMPLETE acquisition -> pre-track -> tracking -> bit-extraction
-// chain with the reference firmware's exact numeric semantics, driven
-// over a recorded/synthesized 16.368 MHz 1-bit capture.  Used by
-// tests/test_firmware_parity.py to assert that the TPU pipeline
-// reproduces the firmware pipeline's nav-bit stream bit-exactly and its
-// code phase / Doppler within the firmware's quantization — the
-// BASELINE.md correctness line, compared pipeline-against-pipeline
-// rather than each-against-planted-truth.
+// A COMPLETE acquisition -> pre-track -> tracking -> bit-extraction ->
+// subframe-ledger -> relative-pseudorange chain with the reference
+// firmware's exact numeric semantics, driven over a recorded/synthesized
+// 16.368 MHz 1-bit capture.  Used by tests/test_firmware_parity.py to
+// assert that the TPU pipeline reproduces the firmware pipeline's
+// nav-bit stream bit-exactly, its code phase / Doppler within the
+// firmware's quantization, and (fw_master_run) its relative
+// pseudoranges — the BASELINE.md correctness line, compared
+// pipeline-against-pipeline rather than each-against-planted-truth.
 //
 // This is a fresh implementation built from studying the reference
 // (file:line cites below refer to /root/reference/Firmware/project_main);
@@ -28,12 +29,28 @@
 //    (tracking.c:181-192) — mirrored as written;
 //  * tracking services the channel only on its 4-of-17 TDM slots with
 //    NCO phase rewind for the skipped epochs (main.c:140-152,
-//    gps_misc.c:196-204).
+//    gps_misc.c:196-204);
+//  * the cold frequency search's shared vote buffers are reset after
+//    EVERY 10-epoch batch (acquisition_buffers_reset inside
+//    acquisition_freq_search, acquisition.c:303), so the frequency
+//    histogram only ever holds the current bin's vote — acceptance is
+//    effectively "this bin's sorted-chain length >= 3" and the
+//    ratio-1.7 branch is dead code.  Mirrored as written;
+//  * the freq-search chain detector's END-of-buffer check ignores
+//    same_flag (acquisition.c:350-351) — mirrored.
+//
+// Time compression: the MCU's slow acquisition path processes snapshot
+// copies ~0.2 s apart (acquisition.c:279 comment); the oracle feeds
+// CONSECUTIVE milliseconds instead, so acquisition converges in
+// capture-time rather than wall-time.  Detection statistics per epoch
+// are identical; the 120 s code-search timeout is ported but rarely
+// reachable in compressed time.
 //
 // Built into libsdr_native.so (plain C ABI, ctypes-bound).
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
@@ -54,12 +71,36 @@ constexpr int kHistSize = 32;          // config.h:48
 constexpr int kHistStep1 = 64;         // config.h:47
 constexpr int kSearch2Width = 500;     // acquisition.c:15
 constexpr int kSearch3Width = 60;      // acquisition.c:16
+constexpr int kAcqTimeoutMs = 120000;  // acquisition.c:13
+constexpr int kFreqSpanHz = 7000;      // config.h:41 ACQ_SEARCH_FREQ_HZ
+constexpr int kFreqStepHz = 500;       // config.h:42 ACQ_SEARCH_STEP_HZ
+constexpr int kFreqBins = 2 * kFreqSpanHz / kFreqStepHz + 1;  // 29
+constexpr int kSingleFreqLen = 10;     // acquisition.c:18
+constexpr int kFreqPointsMax = 25;     // acquisition.c:12
 constexpr float kDll1C1 = 1.0f, kDll1C2 = 300.0f;     // config.h:61-62
 constexpr float kPll1C1 = 4.0f, kPll1C2 = 3000.0f;    // config.h:64-65
 constexpr float kPll2C1 = 8.0f, kPll2C2 = 5000.0f;    // config.h:67-68
 constexpr float kFll1C1 = 200.0f, kFll1C2 = 2000.0f;  // config.h:70-71
+constexpr double kGpsOffsetTimeMs = 68.802;    // gps_master.c:31
+constexpr double kClightNorm = 299792458.0 / 1000.0;  // gps_master.c:33
+constexpr int kSubframeMs = 6000;      // gps_master.c:34
+constexpr uint32_t kCodeFilterLen = 100;  // CODE_FILTER_LENGTH config.h:38
 
 const uint8_t kPreamble[8] = {1, 0, 0, 0, 1, 0, 1, 1};  // nav_data.c:26
+
+// Acquisition states (gps_misc.h:20-32)
+enum AcqState {
+  kAcqNeedFreqSearch = 0,
+  kAcqFreqSearchRun,
+  kAcqFreqSearchDone,
+  kAcqCodeSearch1,
+  kAcqCodeSearch1Done,
+  kAcqCodeSearch2,
+  kAcqCodeSearch2Done,
+  kAcqCodeSearch3,
+  kAcqCodeSearch3Done,
+  kAcqDone,
+};
 
 // popcount LUT (the firmware builds a 64 KiB table at boot,
 // gps_misc.c:11-38; __builtin_popcount is bit-identical)
@@ -228,17 +269,27 @@ uint16_t correlation_search(const uint16_t* prn, const uint16_t* di,
 
 // ---- channel state ----------------------------------------------------
 struct FwChannel {
+  int prn = 0;
   uint8_t prn_code[kPrnLen];
-  // acquisition (code phase; frequency comes from the hint — the
-  // firmware's given_freq_offset_hz path, acquisition.c:72-79)
-  int acq_stage = 1;             // 1/2/3 = SEARCH1/2/3, 0 = done
+  // acquisition (acquisition.c state machine, gps_misc.h:20-32)
+  int acq_state = kAcqNeedFreqSearch;
+  int16_t given_freq_hz = 0;     // given_freq_offset_hz (0 = cold search)
   int16_t found_freq_hz = 0;
   uint16_t found_code_phase = 0;
   uint16_t search_start = 0, search_stop = 2 * kPrnLen;
   uint16_t hist_step = kHistStep1;
   uint8_t hist[kHistSize] = {0};
+  uint32_t acq_start_timestamp = 0;
+  // cold frequency search (acquisition.c:280-416).  The reference
+  // keeps these in GLOBAL shared buffers reset between channels; the
+  // search runs one channel at a time, so per-channel storage with the
+  // same reset points is equivalent.
+  uint8_t freq_index = 0;
+  uint16_t single_freq_phases[kFreqPointsMax] = {0};
+  uint8_t single_freq_count = 0;
+  uint32_t freq_hist[kFreqBins] = {0};
   // pre-track (tracking.c:398-499)
-  int state = 0;  // 0 acq, 1 need-pre-track, 2 pre-track, 3 tracking
+  int state = 0;  // 0 acq, 2 pre-track, 3 tracking (gps_misc.h tracking)
   float if_freq_offset_hz = 0.0f;
   uint16_t code_search_start = 0, code_search_stop = 0;
   uint16_t pre_track_phases[kPreTrackPointsMax] = {0};
@@ -264,8 +315,26 @@ struct FwChannel {
   int word_cnt = 0, word_bit_cnt = 0;
   uint8_t oldD29 = 0, oldD30 = 0;
   uint32_t word_detection_timestamp = 0;
+  // accurate swap-time refinement + subframe ledger (nav_data.c:145-218,
+  // :352-378; gps_misc.h nav_data fields)
   uint8_t accurate_swap_ok = 0;
-  uint32_t accurate_swap_time = 0;
+  uint32_t accurate_swap_time = 0;   // residue mod CODES_IN_BIT
+  uint8_t subframe_bits[300] = {0};  // assembled subframe (data+parity)
+  uint32_t last_subframe_time = 0;
+  uint32_t first_subframe_time = 0;
+  uint16_t subframe_cnt = 0;
+  uint8_t new_subframe_flag = 0;
+  double tow_gpst = 0.0;             // HOW TOW * 6 (nav_data_decode.c:58)
+  // observables (gps_master.c:228-247 swap ledger)
+  float old_code_phase_fine = 0.0f;
+  uint8_t code_phase_swap_flag = 0;
+  double pseudorange_m = 0.0;
+  double tow_s = 0.0;
+  // ENABLE_CODE_FILTER accumulator (gps_misc.h:92, tracking.c:371-385,
+  // gps_master.c:332-388; config.h:36 defaults the filter ON)
+  float code_phase_fine_filt = 0.0f;
+  uint32_t code_filt_cnt = 0;
+  uint32_t filt_start_time_ms = 0;
   // per-slot scratch (nav_data.c:48-51 statics)
   uint8_t tmp_nav[kTrackChLen] = {0};
   int16_t raw_ip[kTrackChLen] = {0};
@@ -281,19 +350,244 @@ struct Scratch {
 };
 
 struct Outputs {
-  int8_t* bits;
-  int32_t* bit_times;
-  int32_t bit_cap, bit_cnt = 0;
-  float* cp_traj;
-  float* dop_traj;
-  int32_t* traj_times;
-  int32_t traj_cap, traj_cnt = 0;
+  int8_t* bits = nullptr;
+  int32_t* bit_times = nullptr;
+  int32_t bit_cap = 0, bit_cnt = 0;
+  float* cp_traj = nullptr;
+  float* dop_traj = nullptr;
+  int32_t* traj_times = nullptr;
+  int32_t traj_cap = 0, traj_cnt = 0;
   int32_t subframes = 0;
   int32_t track_start_ms = -1;
   int32_t sync_ms = -1;
 };
 
-// nav word framing (nav_data.c:257-350 semantics)
+// ---- acquisition: cold frequency search (acquisition.c:280-416) -------
+
+void acq_buffers_reset(FwChannel& ch) {
+  // acquisition_buffers_reset (acquisition.c:60-65): clears BOTH the
+  // per-batch phase buffer and the frequency histogram
+  std::memset(ch.freq_hist, 0, sizeof(ch.freq_hist));
+  std::memset(ch.single_freq_phases, 0, sizeof(ch.single_freq_phases));
+  ch.single_freq_count = 0;
+}
+
+// acquisition_process_single_freq_data (acquisition.c:322-360): sort the
+// batch's best phases, find the longest chain of near-equal values
+void acq_process_single_freq_data(FwChannel& ch, int points_cnt) {
+  uint16_t* p = ch.single_freq_phases;
+  for (int i = 1; i < points_cnt; ++i) {  // insertion sort (qsort role)
+    const uint16_t v = p[i];
+    int j = i - 1;
+    while (j >= 0 && p[j] > v) {
+      p[j + 1] = p[j];
+      --j;
+    }
+    p[j + 1] = v;
+  }
+  int chain_items = 0;
+  int max_chain = 0;
+  int same_flag = 0;
+  for (int i = 1; i < points_cnt; ++i) {
+    const int diff = (int)p[i] - (int)p[i - 1];
+    if (abs(diff) < 3) same_flag = 1;
+    if (abs(diff) < 15) {
+      chain_items++;
+    } else {
+      if (chain_items > max_chain && same_flag) max_chain = chain_items;
+      chain_items = 0;
+      same_flag = 0;
+    }
+  }
+  // final chain: the reference checks WITHOUT same_flag here
+  // (acquisition.c:350-351) — quirk preserved
+  if (chain_items > max_chain) max_chain = chain_items;
+  if (max_chain >= 2) ch.freq_hist[ch.freq_index] += (uint32_t)max_chain;
+}
+
+// acquisition_process_single_freq_histogram (acquisition.c:365-416)
+void acq_process_single_freq_histogram(FwChannel& ch) {
+  int non_zero = 0;
+  int max_pos = 0;
+  uint32_t max_val = 0;
+  for (int i = 0; i < kFreqBins; ++i) {
+    if (ch.freq_hist[i] > 0) non_zero++;
+    if (ch.freq_hist[i] > max_val) {
+      max_val = ch.freq_hist[i];
+      max_pos = i;
+    }
+  }
+  if (non_zero == 1 && max_val >= 3) {
+    ch.acq_state = kAcqFreqSearchDone;
+    ch.found_freq_hz = (int16_t)(-kFreqSpanHz + max_pos * kFreqStepHz);
+  } else if (non_zero > 1) {
+    // dead in practice (the per-batch reset keeps the histogram
+    // single-binned) but ported for structural parity
+    float min_ratio = 10.0f;
+    for (int i = 0; i < kFreqBins; ++i) {
+      if (ch.freq_hist[i] > 0 && i != max_pos) {
+        const float r = (float)max_val / (float)ch.freq_hist[i];
+        if (r < min_ratio) min_ratio = r;
+      }
+    }
+    if (min_ratio > 1.7f) {
+      ch.acq_state = kAcqFreqSearchDone;
+      ch.found_freq_hz = (int16_t)(-kFreqSpanHz + max_pos * kFreqStepHz);
+    }
+  }
+}
+
+// acquisition_freq_search (acquisition.c:280-312)
+void acq_freq_search(FwChannel& ch, const uint8_t* data, Scratch& s) {
+  generate_prn_data2(ch.prn_code, s.prn, 0);
+  const int16_t freq_offset_hz =
+      (int16_t)(-kFreqSpanHz + ch.freq_index * kFreqStepHz);
+  shift_to_zero_freq(data, (uint8_t*)s.di, (uint8_t*)s.dq,
+                     (float)(kIfHz + freq_offset_hz), nullptr);
+  uint16_t aver, best_phase = 0;
+  correlation_search(s.prn, s.di, s.dq, 0, kPrnLen * 2, &aver, &best_phase);
+  ch.single_freq_phases[ch.single_freq_count++] = best_phase;
+  if (ch.single_freq_count >= kSingleFreqLen) {
+    acq_process_single_freq_data(ch, ch.single_freq_count);
+    acq_process_single_freq_histogram(ch);
+    acq_buffers_reset(ch);
+    ch.freq_index++;
+    if (ch.freq_index >= kFreqBins) ch.freq_index = 0;
+  }
+}
+
+// acquisition_start_channel (acquisition.c:68-85)
+void acq_start_channel(FwChannel& ch) {
+  if (ch.acq_state == kAcqNeedFreqSearch) {
+    if (ch.given_freq_hz != 0) {
+      ch.found_freq_hz = ch.given_freq_hz;
+      ch.acq_state = kAcqFreqSearchDone;
+      return;
+    }
+    acq_buffers_reset(ch);
+    ch.freq_index = 0;
+    ch.acq_state = kAcqFreqSearchRun;
+  }
+}
+
+// acquisition_start_code_search_channel (acquisition.c:89-102)
+void acq_start_code_search(FwChannel& ch, uint32_t now) {
+  if (ch.acq_state == kAcqFreqSearchDone) {
+    std::memset(ch.hist, 0, sizeof(ch.hist));
+    ch.search_start = 0;
+    ch.search_stop = 2 * kPrnLen;
+    ch.hist_step = kHistStep1;
+    ch.acq_start_timestamp = now;
+    ch.acq_state = kAcqCodeSearch1;
+  }
+}
+
+// acquisition_start_code_search3_channel (acquisition.c:106-130)
+void acq_start_code_search3(FwChannel& ch, uint32_t now) {
+  if (ch.acq_state == kAcqCodeSearch2Done) {
+    std::memset(ch.hist, 0, sizeof(ch.hist));
+    ch.search_start = (uint16_t)(ch.found_code_phase - kSearch3Width / 2);
+    ch.search_stop = (uint16_t)(ch.found_code_phase + kSearch3Width / 2);
+    if (ch.search_start > 2 * kPrnLen) ch.search_start = 0;
+    if (ch.search_stop > 2 * kPrnLen) ch.search_stop = 2 * kPrnLen;
+    ch.hist_step = kSearch3Width / kHistSize + 1;
+    acq_buffers_reset(ch);
+    ch.acq_start_timestamp = now;
+    ch.acq_state = kAcqCodeSearch3;
+  }
+}
+
+// acquisition_code_phase_search (acquisition.c:196-275)
+void acq_code_phase_search(FwChannel& ch, const uint8_t* data, Scratch& s,
+                           uint32_t now) {
+  generate_prn_data2(ch.prn_code, s.prn, 0);
+  shift_to_zero_freq(data, (uint8_t*)s.di, (uint8_t*)s.dq,
+                     (float)(kIfHz + ch.found_freq_hz), nullptr);
+  uint16_t aver, best = 0;
+  correlation_search(s.prn, s.di, s.dq, ch.search_start, ch.search_stop,
+                     &aver, &best);
+  if (best < ch.search_start || best >= ch.search_stop) return;
+  if (now - ch.acq_start_timestamp > (uint32_t)kAcqTimeoutMs) {
+    // 120 s histogram reset (acquisition.c:217-224)
+    std::memset(ch.hist, 0, sizeof(ch.hist));
+    ch.acq_start_timestamp = now;
+  }
+  const uint8_t idx = (uint8_t)((best - ch.search_start) / ch.hist_step);
+  if (idx < kHistSize && ch.hist[idx] < 255) ch.hist[idx]++;
+
+  uint8_t max_val = 0, max_pos = 0, unique = 0;
+  const uint16_t hist_len =
+      (uint16_t)((ch.search_stop + 2 - ch.search_start) / ch.hist_step);
+  for (uint8_t i = 0; i < hist_len && i < kHistSize; ++i) {
+    if (ch.hist[i] > max_val) {
+      max_val = ch.hist[i];
+      max_pos = i;
+    }
+    if (ch.hist[i] > 0) unique++;
+  }
+  if (max_val < 2) return;
+  float total = 0.0f;
+  uint8_t nz = 0;
+  for (uint8_t i = 0; i < hist_len && i < kHistSize; ++i) {
+    if (ch.hist[i] > 0) {
+      total += ch.hist[i];
+      nz++;
+    }
+  }
+  const float avr = nz ? total / (float)nz : 0.0f;
+  if (avr < 0.01f) return;
+  float ratio = (float)max_val / avr;
+  if (unique == 1 && max_val > 3) ratio = 10.0f;
+  if (ratio <= 3.2f) return;
+
+  ch.found_code_phase =
+      (uint16_t)(ch.search_start + max_pos * ch.hist_step);
+  if (ch.acq_state == kAcqCodeSearch1) ch.acq_state = kAcqCodeSearch1Done;
+  else if (ch.acq_state == kAcqCodeSearch2) ch.acq_state = kAcqCodeSearch2Done;
+  else if (ch.acq_state == kAcqCodeSearch3) ch.acq_state = kAcqCodeSearch3Done;
+}
+
+// acquisition_process_channel (acquisition.c:134-190)
+void acq_process_channel(FwChannel& ch, const uint8_t* data, Scratch& s,
+                         uint32_t now) {
+  if (ch.prn < 1) return;
+  if (ch.acq_state == kAcqDone) return;
+  if (ch.acq_state == kAcqFreqSearchRun) {
+    acq_freq_search(ch, data, s);
+    return;
+  }
+  if (ch.acq_state == kAcqCodeSearch1Done) {
+    // start SEARCH2 (acquisition.c:151-172)
+    std::memset(ch.hist, 0, sizeof(ch.hist));
+    ch.search_start = (uint16_t)(ch.found_code_phase - kSearch2Width / 2);
+    ch.search_stop = (uint16_t)(ch.found_code_phase + kSearch2Width / 2);
+    if (ch.search_start > 2 * kPrnLen) ch.search_start = 0;
+    if (ch.search_stop > 2 * kPrnLen) ch.search_stop = 2 * kPrnLen;
+    ch.hist_step = kSearch2Width / kHistSize + 1;
+    acq_buffers_reset(ch);
+    ch.acq_start_timestamp = now;
+    ch.acq_state = kAcqCodeSearch2;
+    return;
+  }
+  if (ch.acq_state == kAcqCodeSearch3Done) {
+    ch.acq_state = kAcqDone;
+    // hand off to pre-track (tracking.c:52-72; started by the master)
+    ch.code_search_start =
+        (uint16_t)(ch.found_code_phase - kPreTrackZone / 2);
+    ch.code_search_stop =
+        (uint16_t)(ch.found_code_phase + kPreTrackZone / 2);
+    if (ch.code_search_start > 2 * kPrnLen) ch.code_search_start = 0;
+    if (ch.code_search_stop > 2 * kPrnLen) ch.code_search_stop = 2 * kPrnLen;
+    ch.if_freq_offset_hz = (float)ch.found_freq_hz;
+  }
+  if (ch.acq_state == kAcqCodeSearch1 || ch.acq_state == kAcqCodeSearch2 ||
+      ch.acq_state == kAcqCodeSearch3) {
+    acq_code_phase_search(ch, data, s, now);
+  }
+}
+
+// ---- nav word framing (nav_data.c:257-378 semantics) -------------------
+
 uint8_t check_preamble(const uint8_t* buf, int inv) {
   for (int i = 0; i < 8; ++i) {
     if (buf[i] != (kPreamble[i] ^ inv)) return 0;
@@ -324,6 +618,40 @@ uint8_t word_check_parity(FwChannel& ch) {
   return std::memcmp(d + 25, parity, 6) == 0 ? 1 : 0;
 }
 
+// gps_nav_data_save_word_data role (nav_data.c:408-414): append the
+// current (post-parity-invert) word to the subframe buffer
+void save_word_data(FwChannel& ch) {
+  if (ch.word_cnt >= 0 && ch.word_cnt < 10) {
+    std::memcpy(ch.subframe_bits + 30 * ch.word_cnt, ch.word_buf, 30);
+  }
+}
+
+// getbitu over a 0/1 byte array (nav_data_decode.c:145-152 semantics)
+uint32_t getbitu_bits(const uint8_t* bits, int pos, int len) {
+  uint32_t v = 0;
+  for (int i = pos; i < pos + len; ++i) v = (v << 1) | (bits[i] & 1);
+  return v;
+}
+
+// gps_nav_data_update_subframe_time (nav_data.c:356-378)
+void update_subframe_time(FwChannel& ch, uint32_t now) {
+  if (ch.accurate_swap_ok == 0) return;
+  uint32_t accur_swap_time =
+      (now / kCodesInBit) * kCodesInBit + ch.accurate_swap_time;
+  int32_t diff_accur = (int32_t)(now - accur_swap_time);
+  if (diff_accur < 0) {
+    accur_swap_time -= kCodesInBit;
+  }
+  ch.subframe_cnt++;
+  if (getenv("FW_RX_DEBUG"))
+    fprintf(stderr,
+            "[fwdbg] prn %d subframe now=%u accurate_swap_time=%u "
+            "last_subframe_time=%u (prev %u)\n",
+            ch.prn, now, ch.accurate_swap_time, accur_swap_time,
+            ch.last_subframe_time);
+  ch.last_subframe_time = accur_swap_time;
+}
+
 void words_detection(FwChannel& ch, uint8_t new_bit, uint32_t now) {
   if (ch.word_cnt == 0) {
     std::memmove(ch.word_buf, ch.word_buf + 1, 29);
@@ -331,6 +659,7 @@ void words_detection(FwChannel& ch, uint8_t new_bit, uint32_t now) {
     if (check_preamble(ch.word_buf, 0)) {
       ch.oldD29 = ch.word_buf[28];
       ch.oldD30 = ch.word_buf[29];
+      save_word_data(ch);     // word 1 saved un-checked (nav_data.c:270)
       ch.word_cnt = 1;
       ch.word_bit_cnt = 0;
       ch.inv_preamble_cnt = 0;
@@ -354,14 +683,21 @@ void words_detection(FwChannel& ch, uint8_t new_bit, uint32_t now) {
         // save_word_data does post-parity (nav_data.c:427-428)
         ch.oldD29 = ch.word_buf[28];
         ch.oldD30 = ch.word_buf[29];
+        save_word_data(ch);
         ch.word_cnt++;
         ch.word_bit_cnt = 0;
         ch.word_detection_timestamp = now;
         ch.polarity_found = 1;
         if (ch.word_cnt == 10) {
           ch.subframe_count++;
+          // HOW TOW (nav_data_decode.c:58: getbitu(buff,30,17)*6.0)
+          ch.tow_gpst = (double)getbitu_bits(ch.subframe_bits, 30, 17) * 6.0;
+          // subframe-time ledger (nav_data.c:332-341)
+          update_subframe_time(ch, now);
+          ch.new_subframe_flag = 1;
           ch.word_cnt = 0;
           std::memset(ch.word_buf, 0, 30);
+          std::memset(ch.subframe_bits, 0, sizeof(ch.subframe_bits));
         }
       } else {
         ch.word_cnt = 0;
@@ -378,7 +714,13 @@ void bits_extraction(FwChannel& ch, uint8_t short_bit, uint32_t now,
   if (reminder < ch.old_reminder) {
     const uint8_t bit = ch.pos_cnt > ch.neg_cnt ? 1 : 0;
     if (out.bit_cnt < out.bit_cap) {
-      out.bits[out.bit_cnt] = (int8_t)bit;
+      // record the PRE-polarity bit (raw prompt-sign majority; the
+      // inv_polarity_flag XOR is undone — the flag is constant within
+      // a bit, nav_data.c:64-66).  The TPU scan emits the same raw
+      // convention (nav/frame.py owns polarity), so the streams
+      // compare bit-exactly with no mid-run flip when the firmware
+      // (re-)discovers its polarity (nav_data.c:285-305).
+      out.bits[out.bit_cnt] = (int8_t)(bit ^ (uint8_t)ch.inv_polarity_flag);
       // START epoch of the ended bit on the channel's 20 ms grid
       // (now - reminder is the boundary the bit ended at)
       out.bit_times[out.bit_cnt] =
@@ -391,6 +733,43 @@ void bits_extraction(FwChannel& ch, uint8_t short_bit, uint32_t now,
   }
   if (short_bit) ch.pos_cnt++; else ch.neg_cnt++;
   ch.old_reminder = reminder;
+}
+
+// gps_nav_data_accurate_sync_detection (nav_data.c:145-218): correlation
+// magnitude ratios locate the bit flip INSIDE the 4-epoch slot (the
+// correlator is circular, so a mid-window flip attenuates rather than
+// flips the output)
+void accurate_sync_detection(FwChannel& ch) {
+  const int16_t* rv = ch.raw_ip;
+  uint8_t swap_pos = 0;
+  if (abs(rv[1]) > abs(rv[0])) return;
+  if (rv[3] == 0) return;
+  const float whole_ratio = (float)abs(rv[0]) / (float)abs(rv[3]);
+  if (whole_ratio > 1.5f || whole_ratio < 0.7f) return;
+  const int16_t code_phase_prn = (int16_t)ch.code_phase_fine / 16;
+  if (code_phase_prn < 0 || code_phase_prn > kPrnLen) return;
+  if (code_phase_prn < kPrnLen / 4 || code_phase_prn > kPrnLen * 3 / 4) {
+    if (rv[1] == 0) return;
+    const float ratio_jump = (float)abs(rv[0]) / (float)abs(rv[1]);
+    if (ratio_jump > 1.5f || ratio_jump < 0.7f) return;
+    swap_pos = code_phase_prn < kPrnLen / 4 ? 2 : 1;
+  } else {
+    const uint16_t diff1 = (uint16_t)abs(rv[0] - rv[1]);
+    const uint16_t diff2 = (uint16_t)abs(rv[2] - rv[3]);
+    if (diff1 > diff2) {
+      if (diff2 == 0) return;
+      if ((float)diff1 / (float)diff2 < 2.5f) return;
+      swap_pos = 1;
+    } else {
+      if (diff1 == 0) return;
+      if ((float)diff2 / (float)diff1 < 2.5f) return;
+      swap_pos = 2;
+    }
+  }
+  if (swap_pos == 0) return;
+  const uint32_t swap_timestamp = ch.slot_start_time + swap_pos;
+  ch.accurate_swap_time = swap_timestamp % kCodesInBit;
+  ch.accurate_swap_ok = 1;
 }
 
 // nav_data.c:46-138 per tracked epoch
@@ -429,9 +808,11 @@ void nav_analyse(FwChannel& ch, int index, int16_t new_i, uint32_t now,
       if (ch.right_period_cnt < 3) ch.period_sync_ok = 0;
     }
     ch.old_swap_time = swap_ts;
-    // accurate swap-time refinement (nav_data.c:133-218) feeds only
-    // the subframe-time ledger, which the parity harness does not
-    // compare — omitted.
+    // accurate swap-time refinement (nav_data.c:131-136): a mid-slot
+    // flip (two epochs each side) is the analysable geometry
+    if (ch.period_sync_ok && pol_change_pos == 2) {
+      accurate_sync_detection(ch);
+    }
   }
 }
 
@@ -470,12 +851,24 @@ void tracking_step(FwChannel& ch, const uint8_t* data, int index,
     const float code_err = -((float)(e2 - l2) / (float)(e2 + l2));
     ch.code_phase_fine += kDll1C1 * (code_err - ch.dll_code_err) +
                           kDll1C2 * 0.001f * code_err;
-    if (ch.code_phase_fine < 0.0f)
+    int wrapped = 0;
+    if (ch.code_phase_fine < 0.0f) {
       ch.code_phase_fine =
           (float)(kPrnLen * 2 * kFineRatio) - ch.code_phase_fine;
-    else if (ch.code_phase_fine > (float)(kPrnLen * 2 * kFineRatio))
+      wrapped = 1;
+    } else if (ch.code_phase_fine > (float)(kPrnLen * 2 * kFineRatio)) {
       ch.code_phase_fine -= (float)(kPrnLen * 2 * kFineRatio);
+      wrapped = 1;
+    }
     ch.dll_code_err = code_err;
+    // code filter accumulation (tracking.c:371-385): a wrap inside the
+    // window poisons the average, so mark it unusable until reset
+    if (wrapped)
+      ch.code_phase_fine_filt = -1.0f;
+    else if (ch.code_phase_fine_filt >= 0.0f) {
+      ch.code_phase_fine_filt += ch.code_phase_fine;
+      ch.code_filt_cnt++;
+    }
   }
 
   // PLL (tracking.c:175-209) — applied on slot 0 only
@@ -622,72 +1015,196 @@ void pre_track_step(FwChannel& ch, const uint8_t* data, int index,
   }
 }
 
-// acquisition code-phase search stages (acquisition.c:196-275)
-void acq_step(FwChannel& ch, const uint8_t* data, Scratch& s) {
-  generate_prn_data2(ch.prn_code, s.prn, 0);
-  shift_to_zero_freq(data, (uint8_t*)s.di, (uint8_t*)s.dq,
-                     (float)(kIfHz + ch.found_freq_hz), nullptr);
-  uint16_t aver, best = 0;
-  correlation_search(s.prn, s.di, s.dq, ch.search_start, ch.search_stop,
-                     &aver, &best);
-  if (best < ch.search_start || best >= ch.search_stop) return;
-  const uint8_t idx = (uint8_t)((best - ch.search_start) / ch.hist_step);
-  if (idx < kHistSize && ch.hist[idx] < 255) ch.hist[idx]++;
+// ---- GPS master (gps_master.c) -----------------------------------------
 
-  uint8_t max_val = 0, max_pos = 0, unique = 0;
-  const uint16_t hist_len =
-      (uint16_t)((ch.search_stop + 2 - ch.search_start) / ch.hist_step);
-  for (uint8_t i = 0; i < hist_len && i < kHistSize; ++i) {
-    if (ch.hist[i] > max_val) {
-      max_val = ch.hist[i];
-      max_pos = i;
-    }
-    if (ch.hist[i] > 0) unique++;
-  }
-  if (max_val < 2) return;
-  float total = 0.0f;
-  uint8_t nz = 0;
-  for (uint8_t i = 0; i < hist_len && i < kHistSize; ++i) {
-    if (ch.hist[i] > 0) {
-      total += ch.hist[i];
-      nz++;
-    }
-  }
-  const float avr = nz ? total / (float)nz : 0.0f;
-  if (avr < 0.01f) return;
-  float ratio = (float)max_val / avr;
-  if (unique == 1 && max_val > 3) ratio = 10.0f;
-  if (ratio <= 3.2f) return;
+struct FwMaster {
+  FwChannel* ch = nullptr;
+  int n_ch = 0;
+  int start_flag = 1;
+  int need_acq = 1;
+};
 
-  ch.found_code_phase =
-      (uint16_t)(ch.search_start + max_pos * ch.hist_step);
-  std::memset(ch.hist, 0, sizeof(ch.hist));
-  if (ch.acq_stage == 1) {
-    ch.search_start = (uint16_t)(ch.found_code_phase - kSearch2Width / 2);
-    ch.search_stop = (uint16_t)(ch.found_code_phase + kSearch2Width / 2);
-    if (ch.search_start > 2 * kPrnLen) ch.search_start = 0;
-    if (ch.search_stop > 2 * kPrnLen) ch.search_stop = 2 * kPrnLen;
-    ch.hist_step = kSearch2Width / kHistSize + 1;
-    ch.acq_stage = 2;
-  } else if (ch.acq_stage == 2) {
-    ch.search_start = (uint16_t)(ch.found_code_phase - kSearch3Width / 2);
-    ch.search_stop = (uint16_t)(ch.found_code_phase + kSearch3Width / 2);
-    if (ch.search_start > 2 * kPrnLen) ch.search_start = 0;
-    if (ch.search_stop > 2 * kPrnLen) ch.search_stop = 2 * kPrnLen;
-    ch.hist_step = kSearch3Width / kHistSize + 1;
-    ch.acq_stage = 3;
-  } else {
-    ch.acq_stage = 0;  // GPS_ACQ_DONE
-    // hand off to pre-track (tracking.c:52-72)
-    ch.code_search_start =
-        (uint16_t)(ch.found_code_phase - kPreTrackZone / 2);
-    ch.code_search_stop =
-        (uint16_t)(ch.found_code_phase + kPreTrackZone / 2);
-    if (ch.code_search_start > 2 * kPrnLen) ch.code_search_start = 0;
-    if (ch.code_search_stop > 2 * kPrnLen)
-      ch.code_search_stop = 2 * kPrnLen;
-    ch.if_freq_offset_hz = (float)ch.found_freq_hz;
-    ch.state = 2;
+// gps_master_handling acquisition/tracking sequencing (gps_master.c:68-130)
+void master_handling(FwMaster& m, uint32_t now) {
+  if (m.start_flag) {
+    m.start_flag = 0;
+    acq_start_channel(m.ch[0]);
+  }
+  m.need_acq = 0;
+  int need_f_search = 0;
+  int code_search3_cnt = 0;
+  for (int i = 0; i < m.n_ch; ++i) {
+    if (m.ch[i].acq_state != kAcqDone) m.need_acq = 1;
+    if (m.ch[i].acq_state < kAcqFreqSearchDone) need_f_search = 1;
+    if (m.ch[i].acq_state == kAcqCodeSearch2Done) code_search3_cnt++;
+  }
+  // Starting freq search — one channel at a time (gps_master.c:91-104)
+  if (m.need_acq == 1) {
+    for (int i = 0; i < m.n_ch - 1; ++i) {
+      if (m.ch[i].acq_state == kAcqFreqSearchDone &&
+          m.ch[i + 1].acq_state == kAcqNeedFreqSearch) {
+        acq_start_channel(m.ch[i + 1]);
+        return;
+      }
+    }
+  }
+  // Start code search for all channels (gps_master.c:107-120)
+  if (need_f_search == 0 && m.need_acq == 1) {
+    for (int i = 0; i < m.n_ch; ++i) {
+      if (m.ch[i].acq_state == kAcqFreqSearchDone)
+        acq_start_code_search(m.ch[i], now);
+      if (code_search3_cnt == m.n_ch)
+        acq_start_code_search3(m.ch[i], now);
+    }
+  }
+  // Acquisition done everywhere -> start tracking (gps_master.c:122-130)
+  if (m.need_acq == 0) {
+    for (int i = 0; i < m.n_ch; ++i) {
+      if (m.ch[i].state == 0) m.ch[i].state = 2;  // NEED_PRE_TRACK role
+    }
+  }
+}
+
+struct MasterObsOut {
+  int32_t* pr_times = nullptr;   // (pr_cap,)
+  double* pr_m = nullptr;        // (n_ch, pr_cap) row-major
+  double* tow_s = nullptr;       // (n_ch, pr_cap)
+  int32_t pr_cap = 0, pr_cnt = 0;
+};
+
+// gps_master_code_phase_filter_reset (gps_master.c:376-388)
+void master_filter_reset(FwMaster& m, uint32_t now) {
+  for (int i = 0; i < m.n_ch; ++i) {
+    m.ch[i].code_phase_fine_filt = 0.0f;
+    m.ch[i].code_filt_cnt = 0;
+    m.ch[i].filt_start_time_ms = now;
+  }
+}
+
+// gps_master_filter_code_phase (gps_master.c:332-374): returns 0 if the
+// filter window is not ready, else its duration in ms; on success the
+// per-channel accumulators hold the window AVERAGE code phase
+uint16_t master_filter_code_phase(FwMaster& m, uint32_t now) {
+  int ready = 0;
+  for (int i = 0; i < m.n_ch; ++i)
+    if (m.ch[i].code_filt_cnt > kCodeFilterLen) ready++;
+  if (ready < m.n_ch) return 0;
+  int swap = 0;
+  for (int i = 0; i < m.n_ch; ++i)
+    if (m.ch[i].code_phase_fine_filt < -0.5f) swap++;
+  if (swap) {
+    master_filter_reset(m, now);
+    return 0;
+  }
+  const uint32_t dur = now - m.ch[0].filt_start_time_ms;
+  if (dur > 1000) {
+    master_filter_reset(m, now);
+    return 0;
+  }
+  for (int i = 0; i < m.n_ch; ++i)
+    m.ch[i].code_phase_fine_filt /= (float)m.ch[i].code_filt_cnt;
+  return (uint16_t)dur;
+}
+
+// gps_master_final_pseudorange_calc (gps_master.c:294-329), FILTERED
+// path (ENABLE_CODE_FILTER=1, the config.h:36 production default — the
+// TPU side compares with its own code filter enabled)
+void final_pseudorange_calc(FwMaster& m, uint32_t curr_tick_time,
+                            int32_t ref_time_diff_ms, uint32_t ref_time_ms,
+                            int ref_idx) {
+  for (int i = 0; i < m.n_ch; ++i) {
+    FwChannel& c = m.ch[i];
+    const int32_t diff_prn_ms =
+        (int32_t)(c.last_subframe_time - ref_time_ms);
+    double ch_diff_time_ms =
+        (double)diff_prn_ms +
+        (double)c.code_phase_fine_filt / ((double)kPrnLen * 16.0);
+    // code wrap not yet reflected in a new subframe (gps_master.c:316-323)
+    if (c.code_phase_swap_flag == 1) {
+      double corr_ms = 1.0;
+      if (c.if_freq_offset_hz < 0.0f) corr_ms = -1.0;
+      ch_diff_time_ms = ch_diff_time_ms - corr_ms;
+    }
+    c.pseudorange_m = (kGpsOffsetTimeMs + ch_diff_time_ms) * kClightNorm;
+    c.tow_s = m.ch[ref_idx].tow_gpst +
+              ((double)(ref_time_diff_ms + i * kTrackChLen) / 1000.0);
+  }
+}
+
+// gps_master_nav_handling (gps_master.c:159-286), dummy slot cadence
+void master_nav_handling(FwMaster& m, uint32_t curr_tick_time,
+                         MasterObsOut& obs) {
+  int has_subframe_time_cnt = 0;
+  int first_time_not_set_cnt = 0;
+  int ref_idx = 0;
+  uint32_t min_subframe_time = 0xFFFFFFFFu;
+  uint32_t max_subframe_time = 0;
+  uint16_t min_subframe_cnt = 0xFFFF;
+  uint16_t max_subframe_cnt = 0;
+  for (int i = 0; i < m.n_ch; ++i) {
+    FwChannel& c = m.ch[i];
+    if (c.last_subframe_time != 0) has_subframe_time_cnt++;
+    if (c.first_subframe_time == 0) first_time_not_set_cnt++;
+    if (c.last_subframe_time < min_subframe_time) {
+      min_subframe_time = c.last_subframe_time;
+      ref_idx = i;  // reference = min time = closest satellite
+    }
+    if (c.last_subframe_time > max_subframe_time)
+      max_subframe_time = c.last_subframe_time;
+    if (c.subframe_cnt < min_subframe_cnt) min_subframe_cnt = c.subframe_cnt;
+    if (c.subframe_cnt > max_subframe_cnt) max_subframe_cnt = c.subframe_cnt;
+  }
+  if (min_subframe_time == 0) return;
+  if (max_subframe_time - min_subframe_time > 100) return;
+  if (has_subframe_time_cnt == m.n_ch &&
+      first_time_not_set_cnt == m.n_ch) {
+    // ZERO-moment latch — once (gps_master.c:203-215)
+    for (int i = 0; i < m.n_ch; ++i) {
+      m.ch[i].first_subframe_time = m.ch[i].last_subframe_time;
+      m.ch[i].subframe_cnt = 0;
+    }
+  }
+  if (m.ch[0].first_subframe_time == 0) return;
+
+  const uint32_t ref_time_ms = m.ch[ref_idx].first_subframe_time +
+                               (uint32_t)max_subframe_cnt * kSubframeMs;
+  // code-phase swap detection (gps_master.c:228-247)
+  for (int i = 0; i < m.n_ch; ++i) {
+    FwChannel& c = m.ch[i];
+    if (c.code_phase_swap_flag && c.new_subframe_flag) {
+      c.new_subframe_flag = 0;
+      c.code_phase_swap_flag = 0;
+    }
+    const float diff_f = fabsf(c.old_code_phase_fine - c.code_phase_fine);
+    if (diff_f > ((float)kPrnLen * 16.0f / 2.0f))
+      c.code_phase_swap_flag = 1;
+    c.old_code_phase_fine = c.code_phase_fine;
+  }
+  int32_t ref_time_diff_ms =
+      (int32_t)curr_tick_time - (int32_t)m.ch[ref_idx].last_subframe_time;
+  if (ref_time_diff_ms < 0) ref_time_diff_ms %= kSubframeMs;
+
+  // code filter (gps_master.c:259-276): pseudoranges only when every
+  // channel's window is ready; the window AVERAGE represents the code
+  // phase at the window CENTER, which the firmware acknowledges by
+  // pulling ref_time_diff_ms back by half the duration (c:264-265)
+  const uint16_t filt_dur = master_filter_code_phase(m, curr_tick_time);
+  if (filt_dur < 1) return;
+  ref_time_diff_ms -= filt_dur / 2;
+
+  final_pseudorange_calc(m, curr_tick_time, ref_time_diff_ms, ref_time_ms,
+                         ref_idx);
+  master_filter_reset(m, curr_tick_time);
+  if (obs.pr_cnt < obs.pr_cap) {
+    // series timestamp = the epoch the filtered observation actually
+    // represents (window center) — the same compensation the firmware
+    // applies to tow_s, applied to the comparison time base
+    obs.pr_times[obs.pr_cnt] = (int32_t)curr_tick_time - filt_dur / 2;
+    for (int i = 0; i < m.n_ch; ++i) {
+      obs.pr_m[(int64_t)i * obs.pr_cap + obs.pr_cnt] = m.ch[i].pseudorange_m;
+      obs.tow_s[(int64_t)i * obs.pr_cap + obs.pr_cnt] = m.ch[i].tow_s;
+    }
+    obs.pr_cnt++;
   }
 }
 
@@ -695,15 +1212,19 @@ void acq_step(FwChannel& ch, const uint8_t* data, Scratch& s) {
 
 extern "C" {
 
-// Run the firmware-semantics receiver over a packed 1-bit capture.
+// Run the firmware-semantics single-channel receiver over a packed
+// 1-bit capture.
 //
 // capture: n_ms * 2046 bytes (1023 uint16 LSB-first words per ms, the
 // SPI wire format).  doppler_hint_hz plays the firmware's
-// given_freq_offset_hz role (acquisition.c:72-79) — the frequency
-// search is hint-seeded exactly as a user hint would in main.c:59-73.
-// Outputs: nav bits (post-polarity, as fed to words_detection) with
-// their emission epoch, slot-0 code-phase/Doppler trajectories (fine
-// units / Hz), counts, and milestone epochs.  Returns 0 on success.
+// given_freq_offset_hz role (acquisition.c:72-79): a NON-zero value
+// skips the frequency search exactly as a user hint in main.c:59-73; a
+// ZERO value runs the full cold frequency search (that is also the
+// firmware's convention — given_freq_offset_hz == 0 means no hint).
+// Outputs: nav bits (PRE-polarity — raw prompt-sign majority, the TPU
+// scan's convention; see bits_extraction) with their emission epoch,
+// slot-0 code-phase/Doppler trajectories (fine units / Hz), counts,
+// and milestone epochs.  Returns 0 on success.
 int32_t fw_rx_run(const uint8_t* capture, int64_t n_ms, int32_t prn,
                   int32_t doppler_hint_hz,
                   int8_t* bits, int32_t* bit_times, int32_t bit_cap,
@@ -714,8 +1235,9 @@ int32_t fw_rx_run(const uint8_t* capture, int64_t n_ms, int32_t prn,
                   int32_t* sync_ms, int32_t* n_subframes) {
   if (prn < 1 || prn > 32) return -1;
   FwChannel ch;
+  ch.prn = prn;
   ca_code(prn, ch.prn_code);
-  ch.found_freq_hz = (int16_t)doppler_hint_hz;
+  ch.given_freq_hz = (int16_t)doppler_hint_hz;
   Scratch s;
   std::memset(&s, 0, sizeof(s));
   Outputs out;
@@ -728,10 +1250,15 @@ int32_t fw_rx_run(const uint8_t* capture, int64_t n_ms, int32_t prn,
   out.traj_cap = traj_cap;
   srand(1);  // the watchdog kick's rand() — deterministic runs
 
+  FwMaster m;
+  m.ch = &ch;
+  m.n_ch = 1;
+
   for (int64_t ms = 0; ms < n_ms; ++ms) {
     const uint8_t* data = capture + ms * (kWords * 2);
-    if (ch.state == 0) {
-      acq_step(ch, data, s);
+    master_handling(m, (uint32_t)ms);
+    if (m.need_acq) {
+      acq_process_channel(ch, data, s, (uint32_t)ms);
       continue;
     }
     // TDM: this channel owns superframe slots 0..3 (main.c:140-152)
@@ -746,11 +1273,123 @@ int32_t fw_rx_run(const uint8_t* capture, int64_t n_ms, int32_t prn,
   }
   *n_bits = out.bit_cnt;
   *n_traj = out.traj_cnt;
-  *acq_code_phase = ch.acq_stage == 0 ? ch.found_code_phase : -1;
+  *acq_code_phase = ch.acq_state == kAcqDone ? ch.found_code_phase : -1;
   *track_start_ms = out.track_start_ms;
   *sync_ms = out.sync_ms;
   *n_subframes = ch.subframe_count;
   return ch.state == 3 ? 0 : 1;
+}
+
+// Run the firmware-semantics MULTI-channel receiver (the gps_master
+// role: staged acquisition sequencing, TDM tracking, subframe-time
+// alignment with the ZERO-moment latch, relative pseudoranges) over a
+// packed 1-bit capture — the observable-level parity oracle.
+//
+// hints[i] = 0 runs the cold frequency search on channel i
+// (acquisition.c:280-416); non-zero skips it (main.c:59-73 hint path).
+// Pseudoranges use the FILTERED firmware path (ENABLE_CODE_FILTER=1,
+// the config.h:36 production default): gps_master.c:332-388 window
+// averaging, emitted with the window-center timestamp the firmware
+// itself compensates tow_s by.  Compare against the TPU receiver with
+// its code filter enabled.  Outputs: per-channel acquisition results /
+// milestones, per-channel nav-bit streams (pre-polarity, see
+// fw_rx_run), and the relative pseudorange series appended at each
+// dummy-slot nav handling whose filter window is ready (time,
+// per-channel rho_m and tow_s).  Returns the number of channels that
+// reached tracking.
+int32_t fw_master_run(
+    const uint8_t* capture, int64_t n_ms,
+    const int32_t* prns, const int32_t* hints, int32_t n_ch,
+    int32_t* found_freq_hz, int32_t* found_code_phase,
+    int32_t* track_start_ms, int32_t* sync_ms, int32_t* n_subframes,
+    int8_t* bits, int32_t* bit_times, int32_t bit_cap, int32_t* n_bits,
+    float* cp_traj, float* dop_traj, int32_t* traj_times,
+    int32_t traj_cap, int32_t* n_traj,
+    int32_t* pr_times, double* pr_m, double* tow_s, int32_t pr_cap,
+    int32_t* n_pr) {
+  if (n_ch < 1 || n_ch > 12) return -1;
+  FwChannel* chans = new FwChannel[n_ch];
+  Outputs* outs = new Outputs[n_ch];
+  for (int i = 0; i < n_ch; ++i) {
+    if (prns[i] < 1 || prns[i] > 32) {
+      delete[] chans;
+      delete[] outs;
+      return -1;
+    }
+    chans[i].prn = prns[i];
+    ca_code(prns[i], chans[i].prn_code);
+    chans[i].given_freq_hz = (int16_t)hints[i];
+    outs[i].bits = bits + (int64_t)i * bit_cap;
+    outs[i].bit_times = bit_times + (int64_t)i * bit_cap;
+    outs[i].bit_cap = bit_cap;
+    outs[i].cp_traj = cp_traj + (int64_t)i * traj_cap;
+    outs[i].dop_traj = dop_traj + (int64_t)i * traj_cap;
+    outs[i].traj_times = traj_times + (int64_t)i * traj_cap;
+    outs[i].traj_cap = traj_cap;
+  }
+  Scratch s;
+  std::memset(&s, 0, sizeof(s));
+  srand(1);
+
+  FwMaster m;
+  m.ch = chans;
+  m.n_ch = n_ch;
+  MasterObsOut obs;
+  obs.pr_times = pr_times;
+  obs.pr_m = pr_m;
+  obs.tow_s = tow_s;
+  obs.pr_cap = pr_cap;
+
+  const int frame_len = n_ch * kTrackChLen + 1;  // 17 for 4 ch (main.c:139)
+
+  for (int64_t ms = 0; ms < n_ms; ++ms) {
+    const uint8_t* data = capture + ms * (kWords * 2);
+    const uint32_t now = (uint32_t)ms;
+    if (m.need_acq) {
+      // slow path (main.c:111-131): acquisition for all channels on
+      // this snapshot, then master sequencing
+      for (int i = 0; i < n_ch; ++i)
+        acq_process_channel(chans[i], data, s, now);
+      master_handling(m, now);
+      continue;
+    }
+    // fast path (main.c:134-158): TDM schedule over the superframe
+    const int idx_big = (int)(ms % frame_len);
+    if (idx_big == frame_len - 1) {
+      // dummy slot: nav handling + pseudoranges (gps_master.c:145-154)
+      master_nav_handling(m, now, obs);
+      master_handling(m, now);
+      continue;
+    }
+    const int sat = idx_big / kTrackChLen;
+    const int slot = idx_big % kTrackChLen;
+    FwChannel& c = chans[sat];
+    if (c.state == 2) {
+      pre_track_step(c, data, slot, s);
+      if (c.state == 3) outs[sat].track_start_ms = (int32_t)ms;
+    } else if (c.state == 3) {
+      tracking_step(c, data, slot, now, s, outs[sat]);
+    }
+    master_handling(m, now);
+  }
+  int tracking_cnt = 0;
+  for (int i = 0; i < n_ch; ++i) {
+    found_freq_hz[i] =
+        chans[i].acq_state >= kAcqFreqSearchDone ? chans[i].found_freq_hz
+                                                 : -100000;
+    found_code_phase[i] =
+        chans[i].acq_state == kAcqDone ? chans[i].found_code_phase : -1;
+    track_start_ms[i] = outs[i].track_start_ms;
+    sync_ms[i] = outs[i].sync_ms;
+    n_subframes[i] = chans[i].subframe_count;
+    n_bits[i] = outs[i].bit_cnt;
+    n_traj[i] = outs[i].traj_cnt;
+    if (chans[i].state == 3) tracking_cnt++;
+  }
+  *n_pr = obs.pr_cnt;
+  delete[] chans;
+  delete[] outs;
+  return tracking_cnt;
 }
 
 }  // extern "C"

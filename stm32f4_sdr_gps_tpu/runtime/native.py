@@ -80,6 +80,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p, i32p, i32p, i32p,
     ]
     lib.fw_rx_run.restype = ctypes.c_int32
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.fw_master_run.argtypes = [
+        u8p, ctypes.c_int64, i32a, i32a, ctypes.c_int32,
+        i32a, i32a, i32a, i32a, i32a,
+        i8p, i32a, ctypes.c_int32, i32a,
+        f32p, f32p, i32a, ctypes.c_int32, i32a,
+        i32a, f64p, f64p, ctypes.c_int32, i32p,
+    ]
+    lib.fw_master_run.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -175,6 +184,82 @@ def firmware_receiver_run(words: np.ndarray, prn: int,
         track_start_ms=track_ms.value,
         sync_ms=sync_ms.value,
         subframes=n_sf.value,
+    )
+
+
+def firmware_master_run(words: np.ndarray, prns, hints=None):
+    """Run the firmware-semantics MULTI-channel receiver
+    (native/firmware_rx.cpp fw_master_run — gps_master sequencing, cold
+    frequency search when unhinted, TDM tracking, subframe-time ledger,
+    relative pseudoranges) over a packed uint16 wire-format capture.
+
+    ``hints`` maps per-channel Doppler hints in Hz (0 / None = cold
+    frequency search, the firmware's given_freq_offset_hz convention).
+    Returns a dict of per-channel results + the relative pseudorange
+    series, or None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint16)
+    n_ms = len(words) // 1023
+    byts = np.ascontiguousarray(words[: n_ms * 1023].view(np.uint8))
+    n_ch = len(prns)
+    prns_a = np.ascontiguousarray(prns, dtype=np.int32)
+    if hints is None:
+        hints = [0] * n_ch
+    hints_a = np.ascontiguousarray(
+        [int(h or 0) for h in hints], dtype=np.int32)
+    bit_cap = int(n_ms // 20 + 4)
+    traj_cap = int(n_ms // 17 + 4)
+    pr_cap = int(n_ms // 17 + 4)
+    found_freq = np.zeros(n_ch, np.int32)
+    found_cp = np.zeros(n_ch, np.int32)
+    track_ms = np.zeros(n_ch, np.int32)
+    sync_ms = np.zeros(n_ch, np.int32)
+    n_sf = np.zeros(n_ch, np.int32)
+    bits = np.zeros((n_ch, bit_cap), np.int8)
+    bit_times = np.zeros((n_ch, bit_cap), np.int32)
+    n_bits = np.zeros(n_ch, np.int32)
+    cp = np.zeros((n_ch, traj_cap), np.float32)
+    dop = np.zeros((n_ch, traj_cap), np.float32)
+    tt = np.zeros((n_ch, traj_cap), np.int32)
+    n_traj = np.zeros(n_ch, np.int32)
+    pr_times = np.zeros(pr_cap, np.int32)
+    pr_m = np.zeros((n_ch, pr_cap), np.float64)
+    tow_s = np.zeros((n_ch, pr_cap), np.float64)
+    n_pr = ctypes.c_int32()
+    rc = lib.fw_master_run(
+        byts, n_ms, prns_a, hints_a, n_ch,
+        found_freq, found_cp, track_ms, sync_ms, n_sf,
+        bits.reshape(-1), bit_times.reshape(-1), bit_cap, n_bits,
+        cp.reshape(-1), dop.reshape(-1), tt.reshape(-1), traj_cap, n_traj,
+        pr_times, pr_m.reshape(-1), tow_s.reshape(-1), pr_cap,
+        ctypes.byref(n_pr),
+    )
+    npr = n_pr.value
+    chans = []
+    for i in range(n_ch):
+        nb, nt = int(n_bits[i]), int(n_traj[i])
+        chans.append(dict(
+            prn=int(prns_a[i]),
+            found_freq_hz=int(found_freq[i]),
+            acq_code_phase_halfchips=int(found_cp[i]),
+            track_start_ms=int(track_ms[i]),
+            sync_ms=int(sync_ms[i]),
+            subframes=int(n_sf[i]),
+            bits=bits[i, :nb].copy(),
+            bit_times=bit_times[i, :nb].copy(),
+            code_phase_fine=cp[i, :nt].copy(),
+            doppler_hz=dop[i, :nt].copy(),
+            traj_times=tt[i, :nt].copy(),
+        ))
+    return dict(
+        tracking_count=rc,
+        channels=chans,
+        pr_times_ms=pr_times[:npr].copy(),
+        pseudorange_m=pr_m[:, :npr].copy(),
+        tow_s=tow_s[:, :npr].copy(),
     )
 
 
