@@ -33,10 +33,12 @@ def test_two_process_global_mesh():
         )
         for pid in range(2)
     ]
+    # stage 4 (RUN_SLOW) tracks a full 29 s capture per process
+    budget = 1200 if os.environ.get("RUN_SLOW") == "1" else 240
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=budget)
             outs.append((p.returncode, out, err))
     except subprocess.TimeoutExpired:
         for p in procs:
