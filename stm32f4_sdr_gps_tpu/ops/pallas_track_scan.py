@@ -51,10 +51,12 @@ single ``pallas_call`` with ``grid=(T/EPB,)``:
   below the correlator noise floor; 2nd order cost 4 more (C,SP)
   passes = 0.1 us/epoch at 32 ch) plus an exact scalar phase rotation;
 * scalar-sized transcendentals are polynomial: the per-epoch (C, 1)
-  carrier-phase cos/sin uses a quadrant-reduced Taylor kernel and the
-  SNR log uses an exponent-split atanh series — tiny-vector
-  ``jnp.cos``/``jnp.sin``/``jnp.log`` each cost 100-200 ns of fixed
-  latency on the VPU (tools/forest_probe2.py), the polynomials a few ns;
+  carrier-phase cos/sin uses a quadrant-reduced Taylor kernel —
+  tiny-vector ``jnp.cos``/``jnp.sin``/``jnp.log`` each cost 100-200 ns
+  of fixed latency on the VPU (tools/forest_probe2.py), the polynomial
+  a few ns; the SNR 10*log10 left the kernel entirely in v5 (the
+  completed window sums are latched in-kernel, the log runs once per
+  block in outputs_from_raw);
 * the bit-sync/watchdog epoch remainders are carried incrementally
   (integer mod has no TPU hardware unit — ~24 ns per ``irem``);
 * per-epoch observables are stacked along the SUBLANE axis into an
@@ -98,8 +100,8 @@ from .pallas_epl import S, SP, U2P
 _F32_FIELDS = (
     "code_phase", "doppler", "carrier_phase",
     "dll_prev", "pll_prev", "fll_theta", "fll_err", "acq_doppler",
-    "snr_i_sum", "snr_q_sum", "snr_db", "bit_ip_sum", "bit_qp_sum",
-    "ext_ip_sum", "ext_qp_sum",
+    "snr_i_sum", "snr_q_sum", "snr_li", "snr_lq", "bit_ip_sum",
+    "bit_qp_sum", "ext_ip_sum", "ext_qp_sum",
 )
 _I32_FIELDS = (
     "fll_primed", "prev_sign", "last_swap", "rpc", "sync",
@@ -111,19 +113,23 @@ NI32 = len(_I32_FIELDS)
 # per-epoch output slots (SUBLANE axis of the (EPB, NOUT, C, 1) output
 # block): 0 ip, 1 qp, 2 code_phase (epoch start), 3 doppler (updated),
 # 4 bit_ready, 5 bit_value, 6 bit_epoch, 7 period_sync_ok,
-# 8 snr_db, 9 code_wrapped, then ONLY when cfg.emit_correlators:
-# 10 ie, 11 qe, 12 il, 13 ql.  Production (no correlator diagnostics)
-# writes the 10-slot block — the diag slots were all-zero bytes through
-# HBM before (a former slot 14 mirrored pll_err_prev state and was
-# never read).
+# 8 snr_li (latched |I| window sum), 9 code_wrapped, 10 snr_lq
+# (latched |Q| window sum; snr_db = 10*log10(li/lq) is applied OUTSIDE
+# the kernel in outputs_from_raw — the SNR log ran in-kernel through
+# v4 at ~23 tiny-op/epoch of unconditional select cost), then ONLY
+# when cfg.emit_correlators: 11 ie, 12 qe, 13 il, 14 ql.  Production
+# (no correlator diagnostics) writes the 11-slot block.
 NOUT = 16          # historical full layout (docs/tests reference)
 
 
 def _nout(cfg: TrackConfig) -> int:
-    return 14 if cfg.emit_correlators else 10
+    return 15 if cfg.emit_correlators else 11
 
-# carrier-ramp cache refresh threshold (Hz): the per-epoch 2nd-order
-# delta-f correction is accurate to ~2e-5 rad at this residual
+# carrier-ramp cache refresh threshold (Hz): the per-epoch 1st-order
+# delta-f correction is accurate to ~1.2e-3 rad at this residual.  The
+# refresh CHECK runs once per grid step (v5) — mid-step slew can push
+# the residual past the threshold by EPB * (PLL slew/epoch) until the
+# next step's check; see the step-level refresh comment in _kernel.
 _RAMP_REFRESH_HZ = 8.0
 
 # epochs per grid step: each TPU grid step carries fixed
@@ -258,26 +264,6 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                        jnp.where(q == 1, c, jnp.where(q == -1, -c, -s)))
         return cq, sq
 
-    def log_pos(x):
-        """Natural log of a positive normal f32 via exponent split +
-        atanh series (jnp.log costs ~100+ ns of fixed latency at (C,1);
-        this is ~15 cheap ops, error < 1e-7 relative)."""
-        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-        e = jax.lax.shift_right_logical(bits, 23) - jnp.int32(127)
-        m = jax.lax.bitcast_convert_type(
-            (bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000), f32)
-        big = m > f32(1.4142135)
-        m = jnp.where(big, m * 0.5, m)
-        e = (e + big.astype(jnp.int32)).astype(f32)
-        u = (m - 1.0) / (m + 1.0)                # |u| <= 0.1716
-        u2 = u * u
-        p = f32(2.0 / 9.0)
-        p = p * u2 + f32(2.0 / 7.0)
-        p = p * u2 + f32(2.0 / 5.0)
-        p = p * u2 + f32(2.0 / 3.0)
-        p = p * u2 + f32(2.0)
-        return f32(np.log(2.0)) * e + u * p
-
     def wrap_half(x):
         return x - jnp.round(x)
 
@@ -365,6 +351,40 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
                 b_plane[0] = mc0 - 1 - span // 2
 
+        # ---- carrier-ramp refresh, once per grid step (v5) -------------
+        # The refresh guard was per-epoch through v4; a
+        # `pl.when(jnp.any(vec))` costs ~141 ns of vector->scalar sync
+        # (tools/forest_probe2.py) — 5.7% of the 2.48 us epoch.  Hoisted
+        # here it amortizes to ~9 ns/epoch at EPB=16.  Cost of the
+        # coarser check: the residual-frequency first-order correction
+        # in the epoch body now absorbs up to EPB epochs of PLL slew on
+        # top of the 8 Hz threshold (normal slew ~1-2 Hz/epoch ->
+        # worst-case mid-step residual ~25-40 Hz = 0.03-0.16 rad
+        # first-order error for <EPB epochs during pull-in transients,
+        # still below the correlator noise floor); a watchdog-kicked
+        # channel (+-250 Hz jump) correlates smeared until the next
+        # step's refresh — a <EPB-epoch extension of a relock transient
+        # that already takes hundreds of epochs.  The `g * EPB < t_cnt`
+        # gate keeps trailing pad steps from touching the carried
+        # ramp/dref state (split-vs-full resume handoff).
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, SP), 1).astype(f32)
+        dop_step = f32_st[1]
+        if ablate == "freeze_ramp":
+            # build exactly once (step 0), cheap scalar predicate
+            ramp_cond = g == 0
+        else:
+            ramp_cond = (g * EPB < t_cnt) & jnp.any(
+                jnp.abs(dop_step - dref[0]) > _RAMP_REFRESH_HZ)
+
+        @pl.when(ramp_cond)
+        def _refresh_ramp():
+            a = (dop_step / fs) * k_iota
+            a = a - jnp.floor(a)
+            ramp_st[0] = jnp.cos(two_pi * a)
+            ramp_st[1] = jnp.sin(two_pi * a)
+            dref[0] = dop_step
+
         # ---- replica-window producers ---------------------------------
         if ablate != "nobarrel":
             def make_ew_full():
@@ -427,11 +447,12 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 acq_dop = fS[7]
                 snr_i = fS[8]
                 snr_q = fS[9]
-                snr_db = fS[10]
-                bit_ip = fS[11]
-                bit_qp = fS[12]
-                ext_ip = fS[13]
-                ext_qp = fS[14]
+                snr_li = fS[10]
+                snr_lq = fS[11]
+                bit_ip = fS[12]
+                bit_qp = fS[13]
+                ext_ip = fS[14]
+                ext_qp = fS[15]
                 fll_primed = iS[0]
                 prev_sign = iS[1]
                 last_swap = iS[2]
@@ -468,29 +489,13 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 # cos/sin over (C, SP) are the single most expensive VPU
                 # ops in the kernel (~1.7 us/epoch measured), so the
                 # Doppler ramp e^{j*2pi*(dop/fs)*k} is cached per channel
-                # and re-built (vectorized, all channels at once) only
-                # when any channel's Doppler moved > _RAMP_REFRESH_HZ
-                # from its cached value.  Per epoch the cached ramp is
-                # corrected by the residual delta-f to SECOND order (max
-                # phase error x^3/6 ~ 2e-5 rad at 8 Hz — far below the
-                # correlator noise floor and the polynomial Costas
-                # error), then rotated by the scalar carrier phase.
-                k = jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1).astype(f32)
-
-                ramp_cond = jnp.any(
-                    jnp.abs(dop - dref[0]) > _RAMP_REFRESH_HZ)
-                if ablate == "freeze_ramp":
-                    # build exactly once (epoch 0), cheap scalar predicate
-                    ramp_cond = (g == 0) & (ei == 0)
-
-                @pl.when(ramp_cond)
-                def _refresh_ramp():
-                    a = (dop / fs) * k
-                    a = a - jnp.floor(a)
-                    ramp_st[0] = jnp.cos(two_pi * a)
-                    ramp_st[1] = jnp.sin(two_pi * a)
-                    dref[0] = dop
-
+                # and re-built (vectorized, all channels at once, at the
+                # grid-step-level refresh above) only when a channel's
+                # Doppler moved > _RAMP_REFRESH_HZ from its cached
+                # value.  Per epoch the cached ramp is corrected by the
+                # residual delta-f to FIRST order, then rotated by the
+                # scalar carrier phase.
+                k = k_iota
                 rc = ramp_st[0]
                 rs = ramp_st[1]
                 if ablate == "ramp":
@@ -552,7 +557,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                     f32_st[...] = jnp.stack([
                         new_cp, dop, ph, dll_prev, pll_prev, fll_theta,
                         fll_err, acq_dop, snr_i + ip_r, snr_q + qp_r,
-                        snr_db, bit_ip, bit_qp, ext_ip, ext_qp])
+                        snr_li, snr_lq, bit_ip, bit_qp, ext_ip, ext_qp])
                     i32_st[...] = jnp.stack([
                         fll_primed, prev_sign, last_swap, rpc, sync,
                         old_rem, pos_cnt, neg_cnt, bad_cnt, master,
@@ -707,17 +712,18 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 master2 = jnp.where(kick, 0, master2)
 
                 # ---- SNR (tracking.c:147-169) -------------------------
+                # v5: the window's completed |I|/|Q| sums are LATCHED
+                # (2 selects); the 10*log10 ratio — ~23 unconditional
+                # tiny ops/epoch through v4 (log_pos polynomial + guards)
+                # — moved outside the kernel (outputs_from_raw /
+                # state_to_track_state), where it runs once per BLOCK on
+                # the emitted sums and XLA-fuses with the digest.
                 snr_i2 = snr_i + jnp.abs(ip)
                 snr_q2 = snr_q + jnp.abs(qp)
                 cnt2 = snr_cnt + 1
                 snr_done = cnt2 >= cfg.snr_window_epochs
-                inv_ln10 = float(10.0 / np.log(10.0))
-                snr_db2 = jnp.where(
-                    snr_done,
-                    inv_ln10 * log_pos(jnp.maximum(snr_i2, 1e-9)
-                                       / jnp.maximum(snr_q2, 1e-9)),
-                    snr_db,
-                )
+                snr_li2 = jnp.where(snr_done, snr_i2, snr_li)
+                snr_lq2 = jnp.where(snr_done, snr_q2, snr_lq)
                 snr_i2 = jnp.where(snr_done, 0.0, snr_i2)
                 snr_q2 = jnp.where(snr_done, 0.0, snr_q2)
                 cnt2 = jnp.where(snr_done, 0, cnt2)
@@ -766,8 +772,8 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 # acq_doppler is per-epoch constant and written back)
                 f32_st[...] = jnp.stack([
                     new_cp, new_dop, new_ph, cerr, phase_err_store,
-                    perr, fdiff, acq_dop, snr_i2, snr_q2, snr_db2,
-                    ip_sum2, qp_sum2, ext_ip2, ext_qp2])
+                    perr, fdiff, acq_dop, snr_i2, snr_q2, snr_li2,
+                    snr_lq2, ip_sum2, qp_sum2, ext_ip2, ext_qp2])
                 i32_st[...] = jnp.stack([
                     jnp.ones_like(fll_primed), sgn, ls2, rpc2, sync2,
                     rem2, p2, n2, bad2, master2, cnt2, epoch + 1,
@@ -782,7 +788,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                         ip, qp, cp, new_dop,
                         bit_ready.astype(f32), bit_val.astype(f32),
                         bit_epoch.astype(f32), sync2.astype(f32),
-                        snr_db2, wrapped_flag.astype(f32),
+                        snr_li2, wrapped_flag.astype(f32), snr_lq2,
                     ]
                     if cfg.emit_correlators:
                         pieces += [ie, qe, il, ql]
@@ -869,11 +875,18 @@ class PallasScanState(NamedTuple):
 def state_from_track_state(ts: TrackState) -> PallasScanState:
     """Pack the production TrackState into the kernel's VMEM planes
     (every TrackState field round-trips — see state_to_track_state)."""
+    # the kernel carries the latched SNR window sums (snr_li, snr_lq),
+    # not the dB value; entering from a TrackState reconstructs an
+    # equivalent pair (ratio 10^(db/10) against 1.0) — exact for the
+    # init_state db=0 case and within ~1e-6 dB otherwise (the latched
+    # pair only feeds the reported dB until the next window completes)
+    snr_li = jnp.exp(ts.snr_db.astype(jnp.float32)
+                     * jnp.float32(np.log(10.0) / 10.0))
     f32 = jnp.stack([
         ts.code_phase_chips, ts.doppler_hz, ts.carrier_phase_cycles,
         ts.dll_err_prev, ts.pll_err_prev, ts.fll_theta_prev,
         ts.fll_err_prev, ts.acq_doppler_hz,
-        ts.snr_i_sum, ts.snr_q_sum, ts.snr_db,
+        ts.snr_i_sum, ts.snr_q_sum, snr_li, jnp.ones_like(snr_li),
         ts.bit_ip_sum, ts.bit_qp_sum,
         ts.ext_ip_sum, ts.ext_qp_sum,
     ]).astype(jnp.float32)[..., None]
@@ -903,6 +916,15 @@ def state_from_track_state(ts: TrackState) -> PallasScanState:
     )
 
 
+def _snr_db_from_sums(li: jnp.ndarray, lq: jnp.ndarray) -> jnp.ndarray:
+    """10*log10(|I|sum / |Q|sum) from the kernel's latched window sums
+    (tracking.c:147-169 formula; the log runs OUTSIDE the kernel since
+    v5).  Latched zeros (no window completed yet) map to 0 dB exactly,
+    matching the reference scan's initial snr_db."""
+    return 10.0 * jnp.log10(jnp.maximum(li, 1e-9)
+                            / jnp.maximum(lq, 1e-9))
+
+
 def state_to_track_state(ps: PallasScanState) -> TrackState:
     """Unpack the kernel planes back into the production TrackState."""
     f = ps.f32[..., 0]
@@ -923,7 +945,7 @@ def state_to_track_state(ps: PallasScanState) -> TrackState:
         snr_i_sum=f[8],
         snr_q_sum=f[9],
         snr_cnt=i[10],
-        snr_db=f[10],
+        snr_db=_snr_db_from_sums(f[10], f[11]),
         prev_ip_sign=i[1].astype(jnp.int8),
         last_swap_epoch=i[2],
         right_period_cnt=i[3],
@@ -931,12 +953,12 @@ def state_to_track_state(ps: PallasScanState) -> TrackState:
         old_remainder=i[5],
         bit_pos_cnt=i[6],
         bit_neg_cnt=i[7],
-        bit_ip_sum=f[11],
-        bit_qp_sum=f[12],
+        bit_ip_sum=f[12],
+        bit_qp_sum=f[13],
         epoch_idx=i[11],
         code_wraps=i[12],
-        ext_ip_sum=f[13],
-        ext_qp_sum=f[14],
+        ext_ip_sum=f[14],
+        ext_qp_sum=f[15],
         ext_bit_cnt=i[13],
     )
 
@@ -1069,8 +1091,8 @@ def outputs_from_raw(out: jnp.ndarray, cfg: TrackConfig) -> TrackOutputs:
     (shared by track_block_pallas and the receiver's carried-state
     track+digest program)."""
     if cfg.emit_correlators:
-        diag = dict(ie=out[:, 10], qe=out[:, 11],
-                    il=out[:, 12], ql=out[:, 13])
+        diag = dict(ie=out[:, 11], qe=out[:, 12],
+                    il=out[:, 13], ql=out[:, 14])
     else:
         z = jnp.zeros((0,), jnp.float32)
         diag = dict(ie=z, qe=z, il=z, ql=z)
@@ -1080,7 +1102,7 @@ def outputs_from_raw(out: jnp.ndarray, cfg: TrackConfig) -> TrackOutputs:
         **diag,
         code_phase_chips=out[:, 2],
         doppler_hz=out[:, 3],
-        snr_db=out[:, 8],
+        snr_db=_snr_db_from_sums(out[:, 8], out[:, 10]),
         bit_ready=out[:, 4] > 0.5,
         bit_value=out[:, 5].astype(jnp.int8),
         bit_epoch=out[:, 6].astype(jnp.int32),

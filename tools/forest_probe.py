@@ -64,6 +64,10 @@ def build(variant):
         shp = (2, 1, C)
     elif variant.startswith("fc"):
         shp = (2, 8, C)
+    elif variant.startswith("kc"):
+        shp = (2, 16, C, 1)      # leading-axis field pack: 16 (C,1) rows
+    elif variant.startswith("k4"):
+        shp = (2, 4, C, 1)       # leading-axis field pack: 4 (C,1) rows
     elif variant.startswith("ilp"):
         shp = (8, C, 1)          # 4 independent (a, b) chains
     else:
@@ -138,7 +142,8 @@ def build(variant):
 
 
 VARIANTS = ["c1_fma", "lc_fma", "fc_fma", "ilp_fma",
-            "c1_sel", "lc_sel", "c1_int", "lc_int"]
+            "c1_sel", "lc_sel", "c1_int", "lc_int",
+            "kc_fma", "k4_fma", "kc_sel"]
 
 compiled = {}
 for v in VARIANTS:
