@@ -28,9 +28,9 @@ Transport robustness (learned rounds 1-2 on the axon tunnel):
     candidate path runs in its OWN child process that exits by
     self-alarm (signal.alarm + os._exit), never by external kill.
 
-Measured r2 on TPU v5e (device trace): pallas-in-kernel-scan 179.9x
-(187x at 1000-epoch blocks), pallas-epl-scan 27.1x, jnp-scan 0.5x
-real-time.
+Measured r4 on TPU v5e (device trace): receiver-digest (headline)
+447.6x, pallas-in-kernel-scan v5 456.5x, pallas-epl-scan 27.1x,
+jnp-scan 0.5x real-time.  (r2 history: in-kernel scan 179.9x.)
 """
 
 from __future__ import annotations

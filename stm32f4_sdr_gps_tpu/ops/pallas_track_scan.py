@@ -1,11 +1,11 @@
-"""The whole tracking scan inside one Pallas kernel (v4, vectorized).
+"""The whole tracking scan inside one Pallas kernel (v5, vectorized).
 
 THE production TPU path: ``TrackConfig(in_kernel_scan=True)`` routes
 ``track.scan.track_block`` — and therefore the ``Receiver`` — through
-this kernel (v4 measured 403.5x real time at 32 channels / 15.2k
-channel-ms/ms aggregate at 256 on v5e, vs v3's 313.6x / 13.4k and
-v2's 181x / 7.1k; SCALING.md §1 carries the current numbers).  The
-``lax.scan``-of-steps path remains the CPU/reference backend.
+this kernel (v5 measured 458.7x real time at 32 channels on v5e, vs
+v4's 403.9x, v3's 313.6x and v2's 181x; SCALING.md §1 carries the
+current numbers).  The ``lax.scan``-of-steps path remains the
+CPU/reference backend.
 This kernel moves the *entire* loop — code NCO, carrier wipe-off, E/P/L
 correlation, DLL/Costas-PLL/FLL, false-lock watchdog, SNR estimator and
 bit sync (tracking.c:92-393 + nav_data.c:46-138 equivalents) — into a
@@ -49,7 +49,23 @@ single ``pallas_call`` with ``grid=(T/EPB,)``:
   drifts >8 Hz from its cached value; per epoch the cached ramp gets a
   1st-order residual-frequency correction (~1.2e-3 rad max error, far
   below the correlator noise floor; 2nd order cost 4 more (C,SP)
-  passes = 0.1 us/epoch at 32 ch) plus an exact scalar phase rotation;
+  passes = 0.1 us/epoch at 32 ch) plus an exact scalar phase rotation.
+  **v5 hoisted the refresh GUARD to once per grid step** — the
+  per-epoch ``pl.when(jnp.any(vec))`` vector->scalar sync measured
+  ~0.3 us/epoch in situ at 32 channels (2.48 -> 2.18 us when hoisted);
+  mid-step slew can now exceed the 8 Hz threshold for <EPB epochs
+  during transients, absorbed by the 1st-order correction (~0.03 rad
+  at a 25 Hz transient residual — still below the noise floor).
+  Replacing the per-epoch correction entirely with a per-step
+  first-order ramp ROTATION was tried and REJECTED: the mean-residual
+  phase can be absorbed into the scalar rotation exactly, but the
+  uncorrected per-sample phase profile changes the |E|^2/|L|^2 DLL
+  cross terms enough that a channel settles a different closed-loop
+  equilibrium (1.3 Hz Doppler offset vs the reference scan — outside
+  the parity bar).  Likewise carrying the E/P/L TRIPLE through the
+  epoch loop (one new roll/epoch instead of four) measured WORSE
+  (2.36 vs 2.18 us): three (C, WIN) fori_loop carries cost more than
+  the saved lane-crossing rolls;
 * scalar-sized transcendentals are polynomial: the per-epoch (C, 1)
   carrier-phase cos/sin uses a quadrant-reduced Taylor kernel —
   tiny-vector ``jnp.cos``/``jnp.sin``/``jnp.log`` each cost 100-200 ns
