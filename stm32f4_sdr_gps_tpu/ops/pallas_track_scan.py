@@ -297,7 +297,7 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                ramp_init, dref_init,
                out_ref, f32_out, i32_out, win_out, ramp_out, dref_out,
                f32_st, i32_st, win_st, base_st, b_plane,
-               rem_st, wcnt_st, ramp_st, dref):
+               rem_st, wcnt_st, ramp_st, dref, epl_st):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -402,9 +402,24 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             dref[0] = dop_step
 
         # ---- replica-window producers ---------------------------------
+        # v5.1 keeps the E/P/L TRIPLE in VMEM scratch (epl_st) instead
+        # of deriving P/L from the carried E window every epoch.
+        # P == roll(E, left 1) and L == roll(E, left 2) always, so
+        # advancing the triple by the epoch's mc delta d (in {-1, 0,
+        # +1} by the DLL drift bound) is mostly a PERMUTATION of the
+        # scratch rows — d=+1: (E,P,L) <- (P, L, roll(L, left 1));
+        # d=-1: (E,P,L) <- (roll(E, right 1), E, P) — so one epoch
+        # costs 2 lane-crossing rolls (~125 ns each, the dominant
+        # barrel cost) + 6 elementwise selects + the scratch
+        # round-trip, where v4/v5 cost 4 rolls (advance pair + P/L
+        # derivation).  Carrying the triple as fori_loop VALUES was
+        # tried first and REJECTED (2.36 vs 2.18 us: the functional
+        # carry copies cost more than the saved rolls); scratch
+        # updates are in place.  Bit-exact: cyclic rolls compose, so
+        # each row equals the corresponding roll of the base window.
         if ablate != "nobarrel":
-            def make_ew_full():
-                """E-row window from the base via the 4-stage masked
+            def make_epl_full():
+                """E/P/L windows from the base via the 4-stage masked
                 barrel (first epoch of each grid step; the rebuild
                 check guarantees es in [0, span] here)."""
                 mc = _mc_now()
@@ -413,31 +428,36 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 for sft in stages:
                     rolled = pltpu.roll(bw, WIN - sft, 1)
                     bw = jnp.where((es & sft) != 0, rolled, bw)
-                return bw, mc
+                pw = pltpu.roll(bw, WIN - 1, 1)
+                lw = pltpu.roll(pw, WIN - 1, 1)
+                return (bw, pw, lw), mc
 
-            def make_ew_incr(ew_prev, mc_prev):
-                """Advance the carried window by this epoch's mc delta —
-                in {-1, 0, +1} by the DLL drift bound (code wraps fold
-                to +-1 via S-periodicity) — with one roll pair + select
-                instead of the 4-stage barrel.  Cyclic rolls compose,
-                so the carried window stays bit-identical to
-                roll(base, -es)."""
+            def make_epl_incr(mc_prev):
+                """Advance the scratch E/P/L triple by this epoch's mc
+                delta (code wraps fold to +-1 via S-periodicity)."""
+                ew = epl_st[0]
+                pw = epl_st[1]
+                lw = epl_st[2]
                 mc = _mc_now()
                 d = _fold(mc - mc_prev)
-                left = pltpu.roll(ew_prev, WIN - 1, 1)
-                right = pltpu.roll(ew_prev, 1, 1)
-                ew = jnp.where(d == 1, left,
-                               jnp.where(d == -1, right, ew_prev))
-                return ew, mc
+                lleft = pltpu.roll(lw, WIN - 1, 1)
+                eright = pltpu.roll(ew, 1, 1)
+                up = d == 1
+                dn = d == -1
+                e2 = jnp.where(up, pw, jnp.where(dn, eright, ew))
+                p2 = jnp.where(up, lw, jnp.where(dn, ew, pw))
+                l2 = jnp.where(up, lleft, jnp.where(dn, pw, lw))
+                return (e2, p2, l2), mc
         else:
-            def make_ew_full():
-                return base_st[...], _mc_now()
+            def make_epl_full():
+                b = base_st[...]
+                return (b, b, b), _mc_now()
 
-            def make_ew_incr(ew_prev, mc_prev):
-                return ew_prev, mc_prev
+            def make_epl_incr(mc_prev):
+                return (epl_st[0], epl_st[1], epl_st[2]), mc_prev
 
         # ---- EPB epochs per grid step (amortizes per-step overhead) ----
-        def epoch_tail(ei, ew):
+        def epoch_tail(ei, epl):
             # trailing pad epochs (t_cnt not a multiple of EPB) are
             # skipped entirely: no state advance, output rows sliced off
             # (the pl.when predication is free on TPU — measured
@@ -485,21 +505,16 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                 ext_cnt = iS[13]
                 in_sync = sync == 1
 
-                # ---- replica rows from the composed window ------------
-                # ew = the E-row window at this epoch's integer
+                # ---- replica rows from the scratch triple -------------
+                # epl = the E/P/L windows at this epoch's integer
                 # half-chip shift mc (ops.pallas_epl equivalence),
-                # produced by make_ew_full (first epoch of the step) or
-                # make_ew_incr (carried + delta roll); P/L are its +1/+2
-                # left-rolls.  Junk wrapping in from the right edge
-                # stays in lanes >= WIN - (es + 2) >= SP, outside the
-                # [0, SP) slice.
-                if ablate != "nobarrel":
-                    p_full = pltpu.roll(ew, WIN - 1, 1)
-                    rep_e = ew[:, :SP]
-                    rep_p = p_full[:, :SP]
-                    rep_l = pltpu.roll(p_full, WIN - 1, 1)[:, :SP]
-                else:
-                    rep_e = rep_p = rep_l = base_st[:, :SP]
+                # produced by make_epl_full (first epoch of the step)
+                # or make_epl_incr (scratch triple + delta roll).  Junk
+                # wrapping in from the right edge stays in lanes >=
+                # WIN - (es + 2) >= SP, outside the [0, SP) slice.
+                rep_e = epl[0][:, :SP]
+                rep_p = epl[1][:, :SP]
+                rep_l = epl[2][:, :SP]
 
                 # ---- carrier wipe-off, all channels at once -----------
                 # cos/sin over (C, SP) are the single most expensive VPU
@@ -812,27 +827,29 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
 
         if _incremental:
             # epoch 0: full barrel from the (possibly just rebuilt)
-            # base; epochs 1..EPB-1: incremental window carried through
-            # the loop (pad epochs advance no state, so their delta is
-            # 0 and the carry passes through unchanged)
-            ew0, mc0 = make_ew_full()
-            epoch_tail(0, ew0)
+            # base, stored into the scratch triple; epochs 1..EPB-1:
+            # incremental triple updated in place (pad epochs advance
+            # no state, so their delta is 0 and the rows rewrite
+            # unchanged)
+            epl0, mc0 = make_epl_full()
+            epl_st[...] = jnp.stack(epl0)
+            epoch_tail(0, epl0)
 
-            def epoch_body(ei, carry):
-                ew_prev, mc_prev = carry
-                ew, mc = make_ew_incr(ew_prev, mc_prev)
-                epoch_tail(ei, ew)
-                return ew, mc
+            def epoch_body(ei, mc_prev):
+                epl, mc = make_epl_incr(mc_prev)
+                epl_st[...] = jnp.stack(epl)
+                epoch_tail(ei, epl)
+                return mc
 
             if UNROLL:
                 # static epoch indices (x_ref/out_ref dynamic-index ops
                 # cost ~73 ns each) and cross-epoch scheduling, at the
                 # price of an 8x larger kernel body to compile
-                carry = (ew0, mc0)
+                carry = mc0
                 for _ei in range(1, EPB):
                     carry = epoch_body(_ei, carry)
             else:
-                jax.lax.fori_loop(1, EPB, epoch_body, (ew0, mc0))
+                jax.lax.fori_loop(1, EPB, epoch_body, mc0)
         else:
             # pathological-gain fallback (> 1 half-chip of code motion
             # per epoch): full barrel every epoch, per-epoch rebuild
@@ -847,8 +864,8 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
                         jax.lax.fori_loop(0, n_chan, rebuild_body, 0)
                         b_plane[0] = mc_chk - 1 - span // 2
 
-                ew, _mc = make_ew_full()
-                epoch_tail(ei, ew)
+                epl, _mc = make_epl_full()
+                epoch_tail(ei, epl)
                 return 0
 
             if UNROLL:
@@ -1081,6 +1098,7 @@ def pallas_track_scan(
             pltpu.VMEM((1, c, 1), jnp.int32),      # incremental wd count
             pltpu.VMEM((2, c, SP), jnp.float32),   # carrier ramp cache
             pltpu.VMEM((1, c, 1), jnp.float32),    # cached ramp doppler
+            pltpu.VMEM((3, c, WIN), jnp.float32),  # E/P/L window triple
         ],
         # per-channel VMEM residency (base windows + ramp cache + u2
         # block, ~60 KB/channel) exceeds Mosaic's default 16 MB scoped
