@@ -262,14 +262,17 @@ def _make_track_fn(jax, name, plan, table_np, state0):
     from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import track_block_pallas
     from stm32f4_sdr_gps_tpu.track.scan import track_block
 
-    cfg = TrackConfig()
+    # explicit False: this path measures the jnp lax.scan reference
+    # backend with the raw code table (the backend-aware default would
+    # auto-route to the Pallas kernel on TPU)
+    cfg = TrackConfig(in_kernel_scan=False)
     if name == "jnp-scan":
         table = jnp.asarray(table_np)
         return jax.jit(
             lambda st, ep: track_block(st, ep, table, plan, cfg)), state0
     u2 = jnp.asarray(upsampled_code_doubled(table_np))
     if name == "pallas-epl-scan":
-        cfg_epl = TrackConfig(use_pallas=True)
+        cfg_epl = TrackConfig(use_pallas=True, in_kernel_scan=False)
         return jax.jit(
             lambda st, ep: track_block(st, ep, u2, plan, cfg_epl)), state0
     if name == "pallas-in-kernel-scan":
@@ -279,9 +282,10 @@ def _make_track_fn(jax, name, plan, table_np, state0):
     if name == "receiver-digest":
         # the RECEIVER's own per-block program: in-kernel scan +
         # on-device digest, carried-state form — exactly what
-        # Receiver.process_block dispatches (and __graft_entry__.entry)
-        import dataclasses
-
+        # Receiver.process_block dispatches (and __graft_entry__.entry).
+        # cfg_ik is the STOCK TrackConfig(): the backend-aware default
+        # (in_kernel_scan=None -> TPU resolves to the Pallas kernel)
+        # means the measured program IS the default program — no flag.
         from stm32f4_sdr_gps_tpu.ops.pallas_track_scan import (
             state_from_track_state,
         )
@@ -289,7 +293,7 @@ def _make_track_fn(jax, name, plan, table_np, state0):
             _track_and_digest_carried,
         )
 
-        cfg_ik = dataclasses.replace(cfg, in_kernel_scan=True)
+        cfg_ik = TrackConfig()
 
         def fn(ps, ep):
             ps2, ts, d = _track_and_digest_carried(

@@ -225,6 +225,7 @@ void build_subframe(int sf_id, int tow6, const Eph &e, int &d29, int &d30,
     b.put(82, 2, static_cast<unsigned>((e.iodc >> 8) & 0x3));
     b.put(90, 1, 0);                       // L2 P data flag
     b.put_s(196, 8, enc(e.tgd, P31));
+    b.put(210, 8, static_cast<unsigned>(e.iodc & 0xFF));  // IODC LSBs
     b.put(218, 16, static_cast<unsigned>(enc(e.toc, 16.0)));
     b.put_s(240, 8, enc(e.f2, P55));
     b.put_s(248, 16, enc(e.f1, P43));

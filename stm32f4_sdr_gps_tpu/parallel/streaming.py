@@ -131,7 +131,9 @@ class StreamingTracker:
         s = self.plan.samples_per_epoch
         n = len(samples) // s
         epochs = jnp.asarray(samples[: n * s].reshape(n, s), jnp.complex64)
-        if getattr(self.cfg, "in_kernel_scan", False):
+        from ..config import resolve_in_kernel_scan
+
+        if resolve_in_kernel_scan(self.cfg):
             return self._process_in_kernel(epochs)
         with jax.sharding.set_mesh(self.mesh):
             epochs = replicated(epochs, self.mesh)

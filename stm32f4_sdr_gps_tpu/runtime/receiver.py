@@ -266,8 +266,10 @@ class Receiver:
         the doubled upsampled table for the Pallas paths
         (cfg.track.use_pallas / in_kernel_scan), the raw (C, 1023)
         bipolar table for the jnp reference path."""
+        from ..config import resolve_in_kernel_scan
+
         t = self.config.track
-        if t.use_pallas or t.in_kernel_scan:
+        if t.use_pallas or resolve_in_kernel_scan(t):
             from ..ops.pallas_epl import upsampled_code_doubled
 
             return jnp.asarray(upsampled_code_doubled(table_np))
@@ -359,10 +361,12 @@ class Receiver:
         if self._digest_active:
             # device-resident loop: the (T, C) outputs never leave the
             # device — one jit returns the new state + a ~kB digest
+            from ..config import resolve_in_kernel_scan
+
             with self.profiler.stage(
                 "track", budget_s=n_epochs * 1e-3
             ).time():
-                if cfg.track.in_kernel_scan:
+                if resolve_in_kernel_scan(cfg.track):
                     # carry the kernel's own PallasScanState between
                     # blocks (ramp cache included); any host-side
                     # mutation of track_state replaces the NamedTuple,

@@ -75,6 +75,41 @@ def reference_to_baseband(
     return y.astype(np.complex64)
 
 
+def reference_to_baseband_device(words,
+                                 decimation: int = REF_DECIMATION):
+    """Fully device-resident wire-format conditioner (jit-compatible).
+
+    Takes the packed uint16 SPI words exactly as they arrive off the
+    wire (signal_capture.c:143-177) and produces complex64 baseband at
+    sample_rate/decimation ON the device: LSB-first unpack to +/-1,
+    exact Fs/4 complex mix (the IF/fs = 1/4 sequence [1, -j, -1, j] —
+    the firmware's binary quarter-rate trick, gps_misc.c:216-217, as a
+    4-periodic complex constant), boxcar integrate-and-dump.  Matches
+    :func:`reference_to_baseband` (host) to f32 rounding (the host mix
+    evaluates exp() in f64; this one uses the exact quarter-rate
+    values) — pinned by tests/test_signal.py.  Chunked use must cut at
+    whole epochs (16368 samples = 1023 words) so the mix phase stays
+    aligned.
+
+    This is the TPU ingest path: a 1-bit capture uploads at
+    2 046 bytes/ms and the 16x-larger complex stream is only ever
+    materialized in HBM (the round-4 verdict's whole-receiver-on-TPU
+    requirement; tools/tpu_e2e.py is the driver).
+    """
+    import jax.numpy as jnp
+
+    words = jnp.asarray(words, jnp.uint16)
+    bits = (words[:, None] >> jnp.arange(16, dtype=jnp.uint16)) & 1
+    signs = bits.astype(jnp.float32).reshape(-1) * 2.0 - 1.0
+    n = (signs.shape[0] // decimation) * decimation
+    signs = signs[:n]
+    # e^{-j*2*pi*(fs/4)*t} at t = k/fs is exactly (-j)^k
+    mix = jnp.array([1, -1j, -1, 1j], jnp.complex64)
+    y = signs.astype(jnp.complex64) * jnp.tile(mix, n // 4)
+    bb = y.reshape(-1, decimation).sum(axis=1) * (2.0 / decimation)
+    return bb
+
+
 def read_capture(path: str, fmt: str = "auto") -> np.ndarray:
     """Read an IQ capture file into complex64.
 

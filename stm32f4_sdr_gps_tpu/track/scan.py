@@ -407,7 +407,9 @@ def track_block(
     ``code_table`` must then be the doubled upsampled table, same as
     ``cfg.use_pallas``.
     """
-    if cfg.in_kernel_scan:
+    from ..config import resolve_in_kernel_scan
+
+    if resolve_in_kernel_scan(cfg):
         from ..ops.pallas_track_scan import track_block_pallas
 
         return track_block_pallas(state, epochs, code_table, plan, cfg,

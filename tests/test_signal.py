@@ -82,3 +82,36 @@ def test_reference_plan_end_to_end_sim():
     assert abs(res.doppler_hz - 2000.0) <= 300.0
     err = (res.code_phase_chips - 400.0 + 511.5) % 1023 - 511.5
     assert abs(err) < 1.0
+
+
+def test_device_conditioner_matches_host():
+    """reference_to_baseband_device (the TPU ingest jit) must agree with
+    the host conditioner on the same packed wire words, including when
+    the stream is processed in whole-epoch chunks."""
+    import jax
+
+    from stm32f4_sdr_gps_tpu.signal.capture import (
+        pack_bits_lsb16,
+        reference_to_baseband_device,
+        unpack_bits_lsb16,
+    )
+
+    sat = SimSat(prn=7, doppler_hz=-1500.0, cn0_dbhz=50.0)
+    x, _ = simulate_capture([sat], num_epochs=6, plan=REFERENCE_PLAN,
+                            noise_sigma=1.0, seed=3)
+    words = pack_bits_lsb16(x)
+    host = reference_to_baseband(unpack_bits_lsb16(words))
+
+    dev = np.asarray(jax.jit(reference_to_baseband_device)(words))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=2e-5)
+
+    # chunked at whole epochs (1023 words each): concatenation of chunk
+    # outputs equals the one-shot conditioner
+    wpe = 1023
+    chunks = [
+        np.asarray(jax.jit(reference_to_baseband_device)(
+            words[i * 3 * wpe:(i + 1) * 3 * wpe]))
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(np.concatenate(chunks), dev, atol=1e-6)

@@ -113,7 +113,9 @@ def main():
         log("IQ block_until_ready returned")
         return
 
-    cfg = TrackConfig()
+    # explicit False: these stages measure the jnp / epl variants (the
+    # backend-aware default would auto-route to the in-kernel scan)
+    cfg = TrackConfig(in_kernel_scan=False)
     if stage in ("compile", "run-jnp", "run-jnp-bur", "trace-jnp"):
         table = jnp.asarray(table_np)
         log("code table transferred")
@@ -121,7 +123,7 @@ def main():
     elif stage == "trace-epl":
         u2 = jnp.asarray(upsampled_code_doubled(table_np))
         log("u2 table transferred")
-        cfg_epl = TrackConfig(use_pallas=True)
+        cfg_epl = TrackConfig(use_pallas=True, in_kernel_scan=False)
         fn = jax.jit(lambda st, ep: track_block(st, ep, u2, plan, cfg_epl))
     elif stage == "trace-pk":
         u2 = jnp.asarray(upsampled_code_doubled(table_np))
