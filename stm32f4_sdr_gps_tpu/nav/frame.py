@@ -37,6 +37,16 @@ _PARITY_SEED = ("D29", "D30", "D29", "D30", "D30", "D29")
 #: polarity re-detect timeout: two subframes (nav_data.c:22)
 BAD_POLARITY_TIMEOUT_MS = 2 * SUBFRAME_DURATION_MS
 
+# Preamble as an 8-bit integer (and its inversion) for the shift-
+# register match in the hot bit loop — equality on one int replaces a
+# per-bit list slice + tuple build (the framer is the dominant
+# per-channel host cost at high channel counts, docs/SCALING.md).
+_PRE_INT = 0
+for _b in PREAMBLE_BITS:
+    _PRE_INT = (_PRE_INT << 1) | _b
+_PRE_INV_INT = _PRE_INT ^ 0xFF
+_PRE_LEN = len(PREAMBLE_BITS)
+
 
 def check_parity(word_bits, d29: int, d30: int) -> Optional[List[int]]:
     """Validate one received 30-bit word.
@@ -95,6 +105,14 @@ class NavFramer:
     subframe_cnt: int = 0
     last_subframe_time_ms: int = 0   # last_subframe_time ledger
     first_subframe_time_ms: int = 0  # latched once by the master
+    # rolling 30-bit register mirroring ``window`` during the preamble
+    # hunt (hot-loop optimization; rebuilt by _sync_pre_reg on resets)
+    pre_reg: int = 0
+
+    def __post_init__(self):
+        # derive the register from the window on ANY construction —
+        # including checkpoints written before the field existed
+        self._sync_pre_reg()
 
     def push_bit(self, bit: int, epoch_ms: int) -> List[SubframeEvent]:
         """Feed one 20 ms nav bit (pre-polarity) ending the epoch window
@@ -102,10 +120,13 @@ class NavFramer:
         events: List[SubframeEvent] = []
         self.bit_counter += 1
         if not self._replaying:
-            # raw-bit ring for post-polarity-flip replay (~2 subframes)
+            # raw-bit ring for post-polarity-flip replay (~2 subframes);
+            # trimmed in slabs (amortized O(1) — a per-bit pop(0) was a
+            # measurable slice of the per-channel host cost), replay
+            # reads the last 640 entries so semantics are unchanged
             self.history.append((bit, epoch_ms))
-            if len(self.history) > 640:
-                self.history.pop(0)
+            if len(self.history) >= 704:
+                del self.history[:-640]
         if self.inv_polarity:
             bit ^= 1
 
@@ -113,18 +134,19 @@ class NavFramer:
             # Preamble hunt in a sliding 30-bit window (nav_data.c:259-307)
             self.window.append(bit)
             self.window_epochs.append(epoch_ms)
+            self.pre_reg = ((self.pre_reg << 1) | bit) & 0x3FFFFFFF
             if len(self.window) > WORD_LENGTH_BITS:
                 self.window.pop(0)
                 self.window_epochs.pop(0)
             if len(self.window) == WORD_LENGTH_BITS:
-                head = tuple(self.window[: len(PREAMBLE_BITS)])
-                if head == PREAMBLE_BITS:
+                head = self.pre_reg >> (WORD_LENGTH_BITS - _PRE_LEN)
+                if head == _PRE_INT:
                     self._accept_word(list(self.window),
                                       self.window_epochs[0])
                     self.inv_preamble_cnt = 0
                 elif (
                     not self.polarity_found
-                    and head == tuple(b ^ 1 for b in PREAMBLE_BITS)
+                    and head == _PRE_INV_INT
                 ):
                     # 180-degree phase ambiguity detection
                     # (nav_data.c:281-291).  The firmware counts two
@@ -150,6 +172,7 @@ class NavFramer:
                         self.inv_hit_bits = []
                         self.window = []
                         self.window_epochs = []
+                        self.pre_reg = 0
                         self.word_cnt = 0
                         self.subframe_bits = []
                         events.extend(self._replay_history())
@@ -181,6 +204,7 @@ class NavFramer:
                     self.subframe_bits = []
                     self.window = word[1:]
                     self.window_epochs = epochs[1:]
+                    self._sync_pre_reg()
                 else:
                     self._store_word(word, data)
                     self.words_decoded += 1
@@ -204,6 +228,14 @@ class NavFramer:
 
     # -- internals ---------------------------------------------------------
 
+    def _sync_pre_reg(self) -> None:
+        """Rebuild the rolling preamble register from ``window`` (reset
+        paths only — the hot loop maintains it incrementally)."""
+        r = 0
+        for b in self.window:
+            r = ((r << 1) | b) & 0x3FFFFFFF
+        self.pre_reg = r
+
     def _replay_history(self) -> List[SubframeEvent]:
         """Re-feed the buffered raw bits with the (now corrected)
         polarity.  Polarity detection is suppressed during replay; the
@@ -212,7 +244,7 @@ class NavFramer:
         self.polarity_found = True   # suppress inverted-preamble logic
         events: List[SubframeEvent] = []
         try:
-            for raw_bit, ep in list(self.history):
+            for raw_bit, ep in self.history[-640:]:
                 events.extend(self.push_bit(raw_bit, ep))
         finally:
             self._replaying = False
@@ -232,6 +264,7 @@ class NavFramer:
         self.word_cnt = 1
         self.window = []
         self.window_epochs = []
+        self.pre_reg = 0
 
     def _store_word(self, word: List[int], data: List[int]):
         self.subframe_bits.extend(data + word[24:])

@@ -182,10 +182,18 @@ def rescode(obs_list, rs, dts, vare, svh, eph_map, x, ion_params=None):
 
 def lsq(H, v):
     """Normal-equation least squares: x = (H'H)^-1 H'v, Q = (H'H)^-1
-    (solving.c:1452-1470; LU inversion replaced by numpy solve)."""
+    (solving.c:1452-1470; LU inversion replaced by numpy solve).
+    Degenerate geometry (coincident satellites, rank-deficient H) must
+    surface as a failed SOLUTION, not an exception out of the receiver
+    loop — return None like the firmware's lsq() error code path."""
     A = H.T @ H
-    Q = np.linalg.inv(A)
+    try:
+        Q = np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        return None, None
     dx = Q @ (H.T @ v)
+    if not np.all(np.isfinite(dx)):
+        return None, None
     return dx, Q
 
 
@@ -205,6 +213,8 @@ def estpos(obs_list, rs, dts, vare, svh, eph_map, x0=None, ion_params=None):
         vw = v / sig
         Hw = H / sig[:, None]
         dx, Q = lsq(Hw, vw)
+        if dx is None:
+            break
         x += dx
         if float(dx @ dx) < 1e-8:  # solving.c:420
             sol.ok = True
@@ -256,6 +266,8 @@ def solve_velocity(obs_list, rs, sol: Solution) -> bool:
     H = np.asarray(rows)
     yv = np.asarray(y)
     dx, _ = lsq(H, yv)
+    if dx is None:
+        return False
     sol.vel = dx[:3]
     sol.dtr_drift_s = dx[3] / CLIGHT
     return True

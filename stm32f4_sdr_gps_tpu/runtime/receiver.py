@@ -635,40 +635,54 @@ class Receiver:
     def _consume_digest(self, d, n_epochs: int) -> None:
         """Host side of the device-resident loop: the BlockDigest
         (already pulled to numpy by the caller — the only device→host
-        transfer, runtime.digest)."""
+        transfer, runtime.digest).
+
+        The per-channel host cost bounds the SYSTEM at high channel
+        counts (docs/SCALING.md §system-ceiling), so the hot loop works
+        on plain Python lists: one .tolist() per leaf replaces hundreds
+        of thousands of numpy scalar __getitem__/int() conversions per
+        block (~2x the whole host path at 256 channels)."""
         from .digest import cn0_from_moments
 
         cfg = self.config
+        bit_count = d.bit_count.tolist()
+        bit_value = d.bit_value.T.tolist()      # (C, K) int lists
+        bit_epoch = d.bit_epoch.T.tolist()
+        snr_db = d.snr_db.tolist()
+        sync_ok = d.period_sync_ok.tolist()
+        any_loss = d.sync_any_loss.tolist()
+        last_unsync = d.last_unsync_epoch.tolist()
+        cn0_m2 = d.cn0_m2.tolist()
+        cn0_m4 = d.cn0_m4.tolist()
+        cn0_n = d.cn0_n.tolist()
+        doppler = d.doppler_hz.tolist()
+        doppler_sum = d.doppler_sum.tolist()
+        cp = (d.code_phase_filtered if cfg.enable_code_filter
+              else d.code_phase_chips).tolist()
         for c, ch in enumerate(self.channels):
-            for k in range(int(d.bit_count[c])):
-                self._push_channel_bit(
-                    ch, int(d.bit_value[k, c]), int(d.bit_epoch[k, c])
-                )
-            ch.snr_db = float(d.snr_db[c])
-            ch.bit_synced = bool(d.period_sync_ok[c])
+            bv, be = bit_value[c], bit_epoch[c]
+            for k in range(bit_count[c]):
+                self._push_channel_bit(ch, bv[k], be[k])
+            ch.snr_db = snr_db[c]
+            ch.bit_synced = sync_ok[c]
             if not ch.bit_synced:
                 if ch.lock_start_ms >= 0:
                     ch.lock_start_ms = -1
                     ch.rtcm_phase_align_m = 0.0
             else:
-                if d.sync_any_loss[c]:
+                if any_loss[c]:
                     ch.lock_start_ms = (
-                        self.epoch_cursor + int(d.last_unsync_epoch[c]) + 1
+                        self.epoch_cursor + last_unsync[c] + 1
                     )
                     ch.rtcm_phase_align_m = 0.0
                 elif ch.lock_start_ms < 0:
                     ch.lock_start_ms = self.epoch_cursor
-            ch.cn0_dbhz = cn0_from_moments(
-                float(d.cn0_m2[c]), float(d.cn0_m4[c]), int(d.cn0_n[c])
-            )
+            ch.cn0_dbhz = cn0_from_moments(cn0_m2[c], cn0_m4[c], cn0_n[c])
             if ch.cn0_dbhz >= cfg.cn0_floor_dbhz:
                 ch.last_healthy_ms = self.epoch_cursor + n_epochs
-            ch.doppler_hz = float(d.doppler_hz[c])
-            ch.carrier_cycles += float(d.doppler_sum[c]) * 1e-3
-            ch.code_phase_chips = float(
-                d.code_phase_filtered[c] if cfg.enable_code_filter
-                else d.code_phase_chips[c]
-            )
+            ch.doppler_hz = doppler[c]
+            ch.carrier_cycles += doppler_sum[c] * 1e-3
+            ch.code_phase_chips = cp[c]
         self._run_cadences(self.epoch_cursor + n_epochs)
 
     def _update_half_cycle(self, ch: ChannelStatus) -> None:

@@ -77,6 +77,7 @@ def fix_scenario(
     frame_repeats: int = 1,
     impairments=None,
     multipath: Dict[int, Tuple[float, float, float]] = None,
+    codes_in_bit: int = 20,
 ) -> FixScenario:
     """4-satellite capture with geometry-consistent TOFs and Dopplers.
 
@@ -92,8 +93,15 @@ def fix_scenario(
         np.radians(lat_deg), np.radians(lon_deg), height_m
     ]))
     start_tow_6s = int(TOE + 60) // 6
+    # Back-date capture t=0 by the PHYSICAL duration of the prefix +
+    # first subframe (0.001*codes_in_bit per bit) so the first decoded
+    # boundary's TOW label coincides with the planted physics.  With
+    # compressed bits (codes_in_bit < 20) later boundaries still skew
+    # (+6 s of TOW per +0.3*cib s of physics) — compressed-time fixes
+    # are km-scale; only real 20 ms captures meet the <500 m bar.
+    bit_s = 0.001 * codes_in_bit
     t_gps0 = gpst2time(
-        WEEK, start_tow_6s * 6.0 - (prefix_bits + 300) * 0.020
+        WEEK, start_tow_6s * 6.0 - (prefix_bits + 300) * bit_s
     )
     lam_l1 = CLIGHT / 1.57542e9
 
@@ -125,6 +133,7 @@ def fix_scenario(
         sats.append(SimSat(
             prn=prn, doppler_hz=float(-rdot / lam_l1), cn0_dbhz=cn0_dbhz,
             nav_bits=bits, delay_ms=float(delay_s * 1000.0),
+            codes_in_bit=codes_in_bit,
             multipath_delay_chips=mp_d, multipath_amp=mp_a,
             multipath_phase_cycles=mp_p,
         ))

@@ -395,3 +395,26 @@ def test_ephemeris_age_gate():
     assert not ok[0] and ok[1:].all()
     # 3 usable satellites left: the solve must refuse, not extrapolate
     assert not pntpos(obs, eph_map).ok
+
+
+def test_degenerate_geometry_fails_cleanly():
+    """Coincident satellites make the normal matrix singular; the
+    solver must return ok=False, never raise (LinAlgError out of the
+    receiver loop was a crash path found by tools/host_cost_probe)."""
+    from stm32f4_sdr_gps_tpu.pvt.solve import Obs, pntpos
+    from stm32f4_sdr_gps_tpu.pvt.gpstime import gpst2time
+
+    eph = make_eph(1, 1.0, 0.5)
+    t = gpst2time(eph.week, eph.toes + 60.0)
+    # four observations of the SAME satellite position (duplicate eph)
+    obs = [Obs(sat=s, time=t, P=2.2e7 + 10.0 * i, D=0.0, snr=45.0)
+           for i, s in enumerate((1, 2, 3, 4))]
+    eph_map = {}
+    for s in (1, 2, 3, 4):
+        import copy
+
+        e = copy.deepcopy(eph)
+        e.sat = s
+        eph_map[s] = e
+    sol = pntpos(obs, eph_map)
+    assert not sol.ok
