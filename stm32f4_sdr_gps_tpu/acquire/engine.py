@@ -252,6 +252,42 @@ def _analyze_power_host(power: np.ndarray, doppler_bins_hz: np.ndarray,
     return peak, lag, doppler, second, mean
 
 
+def _results_from_vectors(vecs, prns, plan: SignalPlan,
+                          cfg: AcqConfig) -> list:
+    """(peak, lag, doppler, second, mean) host vectors -> AcqResults
+    (thresholding shared by analyze_power and the fused acquire)."""
+    peak, lag, doppler, second, mean = vecs
+    code_phase = lag_to_code_phase(lag, plan) % 1023.0
+    results = []
+    for pi in range(len(prns)):
+        ratio = float(peak[pi]) / max(float(second[pi]), 1e-20)
+        results.append(
+            AcqResult(
+                prn=int(prns[pi]),
+                detected=bool(ratio >= cfg.detect_ratio),
+                doppler_hz=float(doppler[pi]),
+                code_phase_chips=float(code_phase[pi]),
+                peak_power=float(peak[pi]),
+                peak_ratio=ratio,
+                peak_to_mean=float(peak[pi]) / max(float(mean[pi]), 1e-20),
+            )
+        )
+    return results
+
+
+def _hint_mask(prns, bins, doppler_hints_hz, cfg: AcqConfig):
+    """(P, D) keep-mask confining hinted PRNs to hint +/- one bin, or
+    None when no hints apply (main.c:59-73, acquisition.c:72-79)."""
+    if not doppler_hints_hz:
+        return None
+    keep = np.ones((len(prns), len(bins)), dtype=np.float32)
+    for pi, prn in enumerate(prns):
+        hint = doppler_hints_hz.get(int(prn))
+        if hint is not None:
+            keep[pi] = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
+    return keep
+
+
 def analyze_power(
     power,                      # (P, D, S) device or host array
     prns,
@@ -284,22 +320,8 @@ def analyze_power(
         except Exception:   # noqa: BLE001 — transport-specific failures
             peak, lag, doppler, second, mean = _analyze_power_host(
                 np.asarray(power), bins_np, excl)
-    code_phase = lag_to_code_phase(lag, plan) % 1023.0
-    results = []
-    for pi in range(len(prns)):
-        ratio = float(peak[pi]) / max(float(second[pi]), 1e-20)
-        results.append(
-            AcqResult(
-                prn=int(prns[pi]),
-                detected=bool(ratio >= cfg.detect_ratio),
-                doppler_hz=float(doppler[pi]),
-                code_phase_chips=float(code_phase[pi]),
-                peak_power=float(peak[pi]),
-                peak_ratio=ratio,
-                peak_to_mean=float(peak[pi]) / max(float(mean[pi]), 1e-20),
-            )
-        )
-    return results
+    return _results_from_vectors((peak, lag, doppler, second, mean),
+                                 prns, plan, cfg)
 
 
 def acquire(
@@ -340,24 +362,43 @@ def acquire(
         cfc = code_fft_conj(prns, plan)
     prec = dft_precision_enum(cfg)
     n_hyp = max(1, int(cfg.edge_hypotheses))
-    # the (P, D, S) cube stays ON DEVICE end to end: hypothesis
-    # max-combining and hint masking are device ops, and analyze_power
-    # reads back only per-PRN scalars (analyze_power_device)
+    # ONE fused device program: power cube -> hypothesis max-combine ->
+    # hint mask -> peak analysis, returning only (P,) vectors.  The
+    # (P, D, S) cube is never a program OUTPUT — that keeps HBM traffic
+    # minimal (XLA fuses the mask into the reduction) and matters on
+    # transports where bulk program outputs are unreliable (the axon
+    # relay: unfused cube-output programs raised UNIMPLEMENTED at the
+    # first readback while this fused form reads back fine —
+    # tools/tpu_acq_bisect.py, r5).
+    keep = _hint_mask(prns, bins, doppler_hints_hz, cfg)
+    keep_d = None if keep is None else jnp.asarray(keep)
+    out = _acquire_fused(epochs, cfc, rot, jnp.asarray(bins), keep_d,
+                         dft, coherent=co, n_hyp=n_hyp,
+                         dft_precision=prec,
+                         excl=exclusion_lags(cfg, plan))
+    return _results_from_vectors(
+        [np.asarray(v) for v in out], prns, plan, cfg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coherent", "n_hyp", "dft_precision", "excl"))
+def _acquire_fused(epochs, cfc, rot, bins, keep, dft,
+                   coherent: int, n_hyp: int, dft_precision, excl: int):
+    """Cube -> hypothesis max-combine -> hint mask -> peak analysis in
+    one program (see acquire(); bit-edge hypotheses shift the coherent
+    block grid and max-combine per-block-normalized powers, so one
+    hypothesis has every block free of a nav-bit sign flip)."""
     if n_hyp == 1:
-        power = acquisition_power(epochs, cfc, rot, coherent=co, dft=dft,
-                                  dft_precision=prec)
+        power = acquisition_power(epochs, cfc, rot, coherent=coherent,
+                                  dft=dft, dft_precision=dft_precision)
     else:
-        # bit-edge hypotheses: shift the coherent block grid and
-        # max-combine per-block-normalized powers, so one hypothesis has
-        # every block free of a nav-bit sign flip (the flip otherwise
-        # cancels the coherent sum).  Needs e >= coherent + largest
-        # offset; the last partial block is dropped per hypothesis.
-        # One fused device program — no per-hypothesis dispatches.
         power = acquisition_power_hypotheses(
-            epochs, cfc, rot, coherent=co, n_hyp=n_hyp, dft=dft,
-            dft_precision=prec)
-    power = apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg)
-    return analyze_power(power, prns, bins, plan, cfg)
+            epochs, cfc, rot, coherent=coherent, n_hyp=n_hyp, dft=dft,
+            dft_precision=dft_precision)
+    if keep is not None:
+        power = power * keep[:, :, None]
+    return analyze_power_device(power, bins, excl)
 
 
 def apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg):
@@ -367,15 +408,11 @@ def apply_doppler_hints(power, prns, bins, doppler_hints_hz, cfg):
     frequency search entirely (main.c:59-73, acquisition.c:72-79).
     Shared by acquire() and the mesh-sharded acquire_sharded().
     """
-    if not doppler_hints_hz:
-        return power
     # (P, D) keep-mask is built host-side (tiny) and applied as one
     # device multiply, so a device-resident cube stays on device
-    keep = np.ones((len(prns), len(bins)), dtype=np.float32)
-    for pi, prn in enumerate(prns):
-        hint = doppler_hints_hz.get(int(prn))
-        if hint is not None:
-            keep[pi] = np.abs(bins - hint) <= cfg.doppler_step_hz * 1.01
+    keep = _hint_mask(prns, bins, doppler_hints_hz, cfg)
+    if keep is None:
+        return power
     if isinstance(power, np.ndarray):
         return power * keep[:, :, None]
     return power * jnp.asarray(keep)[:, :, None]

@@ -59,9 +59,21 @@ def reference_to_baseband(
     n = (len(signs) // decimation) * decimation
     x = np.asarray(signs[:n], dtype=np.float32)
     fs = plan.sample_rate_hz
-    # IF/fs = 1/4 for the reference plan => the mix sequence is periodic
-    # with period 4 (the firmware's binary quarter-rate trick,
-    # gps_misc.c:216-217); we use the exact complex exponential instead.
+    # IF/fs = 1/4 for the reference plan => the mix sequence is exactly
+    # 4-periodic [1, -j, -1, j] (the firmware's binary quarter-rate
+    # trick, gps_misc.c:216-217).  With the default boxcar-8 this
+    # reduces to pure strided float32 adds — no complex multiply, no
+    # exp(): the streaming soak conditions 16 Msamples/s on the host
+    # and the general path was its bottleneck.
+    if (abs(plan.if_freq_hz * 4.0 - fs) < 1e-6 and decimation == 8
+            and n % 8 == 0):
+        x8 = x.reshape(-1, 8)
+        re = (x8[:, 0] - x8[:, 2]) + (x8[:, 4] - x8[:, 6])
+        im = (x8[:, 3] - x8[:, 1]) + (x8[:, 7] - x8[:, 5])
+        out = np.empty(len(x8), np.complex64)
+        out.real = re * np.float32(2.0 / decimation)
+        out.imag = im * np.float32(2.0 / decimation)
+        return out
     t = np.arange(n, dtype=np.float64) / fs
     mix = np.exp(-2j * np.pi * plan.if_freq_hz * t).astype(np.complex64)
 

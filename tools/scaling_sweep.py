@@ -63,7 +63,11 @@ def main():
     prns = list(range(1, 33))
     rng = np.random.default_rng(0)
     acq = AcqConfig()
-    cfg = TrackConfig()
+    # explicit False: this sweep measures the jnp lax.scan backend's
+    # SPMD overhead (a pallas_call cannot be GSPMD-partitioned; the
+    # production kernel shards via StreamingTracker's shard_map, whose
+    # parity is pinned by tests/test_32ch.py)
+    cfg = TrackConfig(in_kernel_scan=False)
     table = ca_table_bipolar(prns)
     cfc = code_fft_conj(prns, plan)
     bins = np.asarray(acq.doppler_bins_hz, np.float32)
@@ -183,15 +187,19 @@ def main():
         platform=devs[0].platform,
         physical_cores=os.cpu_count(),
         virtual_mesh=devs[0].platform == "cpu",
-        note=("virtual CPU devices share the host cores: the fixed-total-"
-              "work rows measure SPMD+contention vs the 1-device "
-              "baseline; the fixed-work-per-device rows compare sharded "
-              "vs unsharded at the SAME total work, isolating "
-              "SPMD/collective overhead — same script yields real "
+        kernel="jnp-scan backend (v5 in-kernel scan shards via "
+               "shard_map, tests/test_32ch.py)",
+        note=("the fixed-work rows are the HEADLINE: sharded vs "
+              "unsharded at the SAME total work on the shared-core "
+              "virtual mesh, isolating SPMD/collective overhead.  The "
+              "shared_core_rows are contention-CONFOUNDED (virtual "
+              "devices share the host's physical cores, so per-device "
+              "throughput falls with device count by construction) and "
+              "kept only for continuity — same script yields real "
               "scaling on a TPU slice"),
         acq_epochs=e_acq, track_epochs=t_trk, channels=32,
-        rows=rows,
         fixed_work_rows=fixed_rows,
+        shared_core_rows_contention_confounded=rows,
     )
     with open(os.path.join(ROOT, "SCALING_SWEEP.json"), "w") as f:
         json.dump(out, f, indent=1)

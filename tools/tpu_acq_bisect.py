@@ -80,7 +80,20 @@ if stage == "cond":
     sys.exit(0)
 
 e = 10
-epochs = jnp.asarray(bb[: e * s].reshape(e, s), jnp.complex64)
+if stage.endswith("-rand"):
+    # bench-style input: fresh on-device PRNG epochs, NOT the
+    # conditioner chain — separates "cube+readback fails in general"
+    # from "chaining from the conditioner breaks it"
+    @jax.jit
+    def _mk(k):
+        kr, ki = jax.random.split(k)
+        return (jax.random.normal(kr, (e, s), jnp.float32)
+                + 1j * jax.random.normal(ki, (e, s), jnp.float32))
+
+    epochs = _mk(jax.random.PRNGKey(2))
+    stage = stage[: -len("-rand")]
+else:
+    epochs = jnp.asarray(bb[: e * s].reshape(e, s), jnp.complex64)
 if stage == "slice":
     v = float(np.asarray(jnp.sum(jnp.abs(epochs) ** 2)))
     log(f"slice checksum OK: {v:.1f}")
@@ -104,6 +117,72 @@ prns = [2, 7, 15, 24]
 acq = AcqConfig()
 bins = np.asarray(acq.doppler_bins_hz, dtype=np.float32)
 rot = doppler_rotations(jnp.asarray(bins), s, plan.sample_rate_hz)
+
+if stage == "fused-copy":
+    # rematerialize the conditioner-derived epochs through a trivial
+    # jit before the acquisition program
+    epochs = jax.jit(lambda a: a + 0)(epochs)
+    stage = "fused-analyze-mm"
+
+if stage == "mega":
+    # EVERYTHING in one jit: wire words -> conditioner -> acquisition
+    # -> peak vectors; no intermediate program outputs at all
+    from stm32f4_sdr_gps_tpu.signal.capture import (
+        reference_to_baseband_device as r2b,
+    )
+
+    dft = dft_tables_device(s)
+    packed = jnp.asarray(pack_code_bits(prns, plan))
+    cfc = code_spectrum_conj_matmul(unpack_code_table(packed, s), *dft)
+    excl = exclusion_lags(acq, plan)
+
+    @jax.jit
+    def mega(w, c, r, b, w0, w1):
+        bb2 = r2b(w)
+        ep = bb2[: e * s].reshape(e, s).astype(jnp.complex64)
+        pw = acquisition_power(ep, c, r, coherent=1, dft=(w0, w1),
+                               dft_precision=jax.lax.Precision.DEFAULT)
+        return analyze_power_device(pw, b, excl)
+
+    out = mega(wd, cfc, rot, jnp.asarray(bins), *dft)
+    vals = [np.asarray(v) for v in out]
+    log(f"mega readback OK: peak={vals[0]}, dop={vals[2]}")
+    sys.exit(0)
+
+if stage == "fused-mm":
+    # the bench-style shape: cube -> scalar INSIDE one jit, so the
+    # (P, D, S) cube is never a program OUTPUT (hypothesis: programs
+    # with large outputs fail at runtime on this transport, CLAUDE.md)
+    dft = dft_tables_device(s)
+    packed = jnp.asarray(pack_code_bits(prns, plan))
+    cfc = code_spectrum_conj_matmul(unpack_code_table(packed, s), *dft)
+
+    @jax.jit
+    def fused(e, c, r, w0, w1):
+        pw = acquisition_power(e, c, r, coherent=1, dft=(w0, w1),
+                               dft_precision=jax.lax.Precision.DEFAULT)
+        return jnp.mean(pw)
+
+    v = float(np.asarray(fused(epochs, cfc, rot, *dft)))
+    log(f"fused cube mean OK: {v:.3f}")
+    sys.exit(0)
+
+if stage == "fused-analyze-mm":
+    dft = dft_tables_device(s)
+    packed = jnp.asarray(pack_code_bits(prns, plan))
+    cfc = code_spectrum_conj_matmul(unpack_code_table(packed, s), *dft)
+    excl = exclusion_lags(acq, plan)
+
+    @jax.jit
+    def fused(e, c, r, b, w0, w1):
+        pw = acquisition_power(e, c, r, coherent=1, dft=(w0, w1),
+                               dft_precision=jax.lax.Precision.DEFAULT)
+        return analyze_power_device(pw, b, excl)
+
+    out = fused(epochs, cfc, rot, jnp.asarray(bins), *dft)
+    vals = [np.asarray(v) for v in out]
+    log(f"fused analyze readback OK: peak={vals[0]}, dop={vals[2]}")
+    sys.exit(0)
 
 if stage.endswith("-mm"):
     dft = dft_tables_device(s)
