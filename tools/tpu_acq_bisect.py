@@ -42,6 +42,24 @@ def _alarm(sig, frm):  # noqa: ARG001
 signal.signal(signal.SIGALRM, _alarm)
 signal.alarm(int(os.environ.get("PROBE_BUDGET_S", "420")))
 
+# signal.alarm alone cannot fire while the main thread is blocked
+# inside a C call (grpc/XLA RPC) — a timer THREAD os._exit()s anyway.
+import threading as _th
+
+
+def _hard_deadline(budget_s: float):
+    def _die():
+        print(f"HARD-DEADLINE after: {_LAST[0]}", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    t = _th.Timer(budget_s, _die)
+    t.daemon = True
+    t.start()
+
+
+_hard_deadline(int(os.environ.get("PROBE_BUDGET_S", "420")) + 30)
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -154,6 +154,9 @@ def main():
     ap.add_argument("--state-dir", default="/tmp/tpu_e2e")
     ap.add_argument("--budget-s", type=int, default=1500)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--require-device-acq", action="store_true",
+                    help="fail instead of falling back to host "
+                         "acquisition when the device chain errors")
     ap.add_argument("--allow-cpu", action="store_true")
     ap.add_argument("--force-cpu", action="store_true",
                     help="run the whole flow on the CPU backend "
@@ -163,6 +166,18 @@ def main():
 
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(args.budget_s)
+    # signal.alarm cannot fire while the main thread is blocked inside
+    # a C call (grpc/XLA RPC) — a timer THREAD os._exit()s regardless
+    import threading
+
+    def _die():
+        print(f"HARD-DEADLINE after: {_LAST[0]}", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(args.budget_s + 60, _die)
+    t.daemon = True
+    t.start()
 
     state = Path(args.state_dir)
     state.mkdir(parents=True, exist_ok=True)
@@ -211,8 +226,12 @@ def main():
 
     ckpt = state / "ckpt.npz"
     if ckpt.exists():
-        log(f"resuming from checkpoint at epoch {prog['cursor']}")
         rx = load_receiver(str(ckpt))
+        # the checkpoint's own ledger is the cursor of record (a crash
+        # between a mid-run checkpoint and the progress write would
+        # otherwise desync them)
+        prog["cursor"] = rx.epoch_cursor
+        log(f"resuming from checkpoint at epoch {prog['cursor']}")
     else:
         # keep acquisition + handoff inside the first chunk; matmul-DFT
         # acquisition (MXU path, tiny uploads — measured 1.9 ms/cube)
@@ -232,18 +251,62 @@ def main():
         t0 = time.perf_counter()
         samples0 = cap.epochs(0, handoff_e)
         log("cold start: acquiring")
-        results = rx.acquire_all(samples0)
-        for r in results:
+        # the tunnel flips UNIMPLEMENTED in degraded windows minutes
+        # long (CLAUDE.md) — retry the device chain, then (unless
+        # --require-device-acq) fall back to HOST acquisition on the
+        # same wire data: a one-time 300-epoch bootstrap; the streaming
+        # pipeline (tracking + digest, the throughput claim) stays on
+        # the TPU either way
+        results = None
+        for attempt in range(2):
+            try:
+                results = rx.acquire_all(samples0)
+                break
+            except Exception as e:  # noqa: BLE001
+                log(f"device acquire attempt {attempt}: "
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:80]}")
+                time.sleep(60)
+        host_bootstrap = False
+        if results is None:
+            if args.require_device_acq:
+                sys.exit(4)
+            log("cold start: falling back to HOST (CPU-backend) "
+                "acquisition + handoff on the same wire data")
+            host_bootstrap = True
+            prog["host_acq_fallback"] = True
+            from stm32f4_sdr_gps_tpu.runtime import native as native_mod
+            from stm32f4_sdr_gps_tpu.signal.capture import (
+                reference_to_baseband,
+            )
+
+            host_bb = reference_to_baseband(native_mod.unpack_bits16(
+                np.asarray(words[: handoff_e * WORDS_PER_EPOCH])))
+            cpu_dev = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu_dev):
+                rx.acquire_all(host_bb)
+                rx.start_tracking(host_bb[acq_e * spe:],
+                                  start_epoch=acq_e)
+            # re-home the bootstrap state: numpy leaves re-upload to
+            # the TPU at the first tracking dispatch
+            rx.track_state = jax.tree.map(np.asarray, rx.track_state)
+            rx.code_table = np.asarray(rx.code_table)
+        for r in (rx.channels and [c.acq for c in rx.channels if c.acq]
+                  or []):
             log(f"  PRN {r.prn}: detected={r.detected} "
                 f"dop={r.doppler_hz:+.0f} Hz cp={r.code_phase_chips:.1f} "
                 f"ratio={r.peak_ratio:.2f}")
-        log("cold start: fine Doppler + pre-track handoff")
-        rx.start_tracking(samples0[acq_e * spe:], start_epoch=acq_e)
+        if not host_bootstrap:
+            log("cold start: fine Doppler + pre-track handoff")
+            rx.start_tracking(samples0[acq_e * spe:], start_epoch=acq_e)
         rx.epoch_cursor = acq_e
         prog["cold_start_s"] = time.perf_counter() - t0
         prog["cursor"] = acq_e
         log(f"cold start done in {prog['cold_start_s']:.1f}s "
             f"(incl. first-run compiles)")
+        # checkpoint NOW: a later degraded window must not redo the
+        # cold start (the expensive compile chain)
+        save_receiver(str(ckpt), rx)
+        prog_path.write_text(json.dumps(prog))
 
     # ---- stream blocks ---------------------------------------------------
     be = args.block_epochs
@@ -251,8 +314,17 @@ def main():
     while (prog["cursor"] + be <= cap.total_epochs
            and done_blocks < args.blocks_per_run):
         t0 = time.perf_counter()
-        block = cap.epochs(prog["cursor"], be)
-        rx.process_block(block)
+        try:
+            block = cap.epochs(prog["cursor"], be)
+            rx.process_block(block)
+        except Exception as e:  # noqa: BLE001
+            # degraded-window failure mid-stream: the receiver state
+            # for this block is indeterminate — exit WITHOUT saving,
+            # the next run resumes from the last good checkpoint
+            log(f"block at epoch {prog['cursor']} failed: "
+                f"{type(e).__name__}: {str(e).splitlines()[0][:80]}")
+            prog_path.write_text(json.dumps(prog))
+            sys.exit(4)
         wall = time.perf_counter() - t0
         prog["cursor"] += be
         prog["block_wall_s"].append(round(wall, 4))
@@ -264,6 +336,7 @@ def main():
                 f"fixes={len(rx.solutions)}")
         if done_blocks % 20 == 0:
             save_receiver(str(ckpt), rx)
+            prog_path.write_text(json.dumps(prog))
 
     save_receiver(str(ckpt), rx)
     for name, st in rx.profiler.stages.items():
