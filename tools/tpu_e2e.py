@@ -311,6 +311,7 @@ def main():
     # ---- stream blocks ---------------------------------------------------
     be = args.block_epochs
     done_blocks = 0
+    fails = 0
     while (prog["cursor"] + be <= cap.total_epochs
            and done_blocks < args.blocks_per_run):
         t0 = time.perf_counter()
@@ -319,12 +320,21 @@ def main():
             rx.process_block(block)
         except Exception as e:  # noqa: BLE001
             # degraded-window failure mid-stream: the receiver state
-            # for this block is indeterminate — exit WITHOUT saving,
-            # the next run resumes from the last good checkpoint
-            log(f"block at epoch {prog['cursor']} failed: "
+            # for this block is indeterminate — reload the last good
+            # checkpoint and wait the window out IN-PROCESS (process
+            # churn wedges the tunnel's claim for minutes), giving up
+            # only after repeated failures
+            fails += 1
+            log(f"block at epoch {prog['cursor']} failed ({fails}): "
                 f"{type(e).__name__}: {str(e).splitlines()[0][:80]}")
-            prog_path.write_text(json.dumps(prog))
-            sys.exit(4)
+            if fails >= 3:
+                prog_path.write_text(json.dumps(prog))
+                sys.exit(4)
+            time.sleep(150)
+            rx = load_receiver(str(ckpt))
+            prog["cursor"] = rx.epoch_cursor
+            cap._chunks.clear()      # re-upload past the bad window
+            continue
         wall = time.perf_counter() - t0
         prog["cursor"] += be
         prog["block_wall_s"].append(round(wall, 4))
