@@ -90,13 +90,20 @@ class MeshReceiver(Receiver):
 
         table = ca_table_bipolar(prns)
         phases = np.array([ch.acq.code_phase_chips for ch in tracked])
-        from ..acquire.engine import refine_doppler
+        from ..acquire.engine import refine_doppler_device
 
-        dopplers = np.array([
-            refine_doppler(samples, ch.prn, ch.acq.code_phase_chips,
-                           ch.acq.doppler_hz, cfg.plan)
-            for ch in tracked
-        ])
+        spe = cfg.plan.samples_per_epoch
+        e = min(256 if cfg.track.coherent_pll else 32,
+                len(samples) // spe)
+        fine_ep = jnp.asarray(
+            samples[: e * spe].reshape(e, spe), jnp.complex64)
+        dopplers = np.asarray(refine_doppler_device(
+            fine_ep, jnp.asarray(table),
+            jnp.asarray(phases, jnp.float32),
+            jnp.asarray([ch.acq.doppler_hz for ch in tracked],
+                        jnp.float32),
+            cfg.plan,
+        )).astype(np.float64)
         refined = refine_code_phase(
             samples, table, phases, dopplers, cfg.plan, cfg.track
         )

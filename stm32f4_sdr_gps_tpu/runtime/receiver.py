@@ -314,19 +314,26 @@ class Receiver:
         table_np = ca_table_bipolar(prns)
         phases = np.array([ch.acq.code_phase_chips for ch in live])
         # fine Doppler: long coherent FFT at the acquired code phase
-        # (acquire.engine.refine_doppler) shrinks the handoff error from
-        # tens of Hz to ~1 Hz
-        from ..acquire.engine import refine_doppler
+        # (acquire.engine.refine_doppler_device) shrinks the handoff
+        # error from tens of Hz to ~1 Hz.  The BATCHED device program
+        # refines every channel in one dispatch — the per-channel host
+        # variant embeds each PRN's code as a closure constant, i.e.
+        # one XLA compile per PRN (minutes each through the tunnel).
+        from ..acquire.engine import refine_doppler_device
 
         # weak-signal (coherent) mode needs a longer squared-prompt span
         # to beat the squaring loss at ~30 dBHz
         fine_epochs = 256 if cfg.track.coherent_pll else 32
-        dopplers = np.array([
-            refine_doppler(samples, ch.prn, ch.acq.code_phase_chips,
-                           ch.acq.doppler_hz, cfg.plan,
-                           num_epochs=fine_epochs)
-            for ch in live
-        ])
+        spe = cfg.plan.samples_per_epoch
+        e = min(fine_epochs, len(samples) // spe)
+        fine_ep = jnp.asarray(
+            samples[: e * spe].reshape(e, spe), jnp.complex64)
+        dopplers = np.asarray(refine_doppler_device(
+            fine_ep, jnp.asarray(table_np),
+            jnp.asarray(phases, jnp.float32),
+            jnp.asarray([ch.acq.doppler_hz for ch in live], jnp.float32),
+            cfg.plan,
+        )).astype(np.float64)
         with self.profiler.stage("pretrack").time():
             refined = refine_code_phase(
                 samples, table_np, phases, dopplers, cfg.plan, cfg.track
@@ -927,15 +934,20 @@ class Receiver:
         ]
         if not hits:
             return []
-        from ..acquire.engine import refine_doppler
+        from ..acquire.engine import refine_doppler_device
 
         new_prns = [ch.prn for ch, _ in hits]
         table_new = ca_table_bipolar(new_prns)
-        dopplers = np.array([
-            refine_doppler(window, ch.prn, res.code_phase_chips,
-                           res.doppler_hz, cfg.plan)
-            for ch, res in hits
-        ])
+        e = min(32, len(window) // spe)
+        fine_ep = jnp.asarray(
+            window[: e * spe].reshape(e, spe), jnp.complex64)
+        dopplers = np.asarray(refine_doppler_device(
+            fine_ep, jnp.asarray(table_new),
+            jnp.asarray([res.code_phase_chips for _, res in hits],
+                        jnp.float32),
+            jnp.asarray([res.doppler_hz for _, res in hits], jnp.float32),
+            cfg.plan,
+        )).astype(np.float64)
         phases = refine_code_phase(
             window,
             table_new,
