@@ -125,6 +125,14 @@ class StreamingTracker:
                 f"pattern")
         self.state = shard_track_state(state, mesh)
         self.code_table = shard_code_table(jnp.asarray(code_table), mesh)
+        # cached jitted shard_map callables: shard_map re-traces (and
+        # the whole program re-compiles) on EVERY bare call, so a
+        # receiver dispatching one block per call was recompiling the
+        # tracking scan per block — ~9 s/block of pure retrace on the
+        # CPU mesh (this was the test suite's dominant cost).  Keyed by
+        # block length + channel shape; cleared when the channel set
+        # changes (re-shard paths assign state/code_table directly).
+        self._fn_cache: dict = {}
 
     def process(self, samples: np.ndarray):
         """Advance all channels through one block of whole epochs."""
@@ -162,22 +170,27 @@ class StreamingTracker:
         def lead_spec(x):
             return P(axes, *([None] * (x.ndim - 1)))
 
-        st_specs = jax.tree.map(lead_spec, self.state)
-        out_shapes = jax.eval_shape(local, self.state, self.code_table,
-                                    epochs)
-        _, outs_shapes = out_shapes
-        o_specs = jax.tree.map(
-            lambda x: P(None, axes) if x.ndim == 2 else P(None),
-            outs_shapes)
-        fn = jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(st_specs, P(axes, None), P(None, None)),
-            out_specs=(st_specs, o_specs),
-            # pallas_call's out_shape structs carry no vma annotation,
-            # so the VMA checker cannot type the kernel's outputs
-            check_vma=False,
-        )
+        key = ("in_kernel", epochs.shape, self.code_table.shape)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            st_specs = jax.tree.map(lead_spec, self.state)
+            out_shapes = jax.eval_shape(local, self.state,
+                                        self.code_table, epochs)
+            _, outs_shapes = out_shapes
+            o_specs = jax.tree.map(
+                lambda x: P(None, axes) if x.ndim == 2 else P(None),
+                outs_shapes)
+            fn = jax.jit(jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(st_specs, P(axes, None), P(None, None)),
+                out_specs=(st_specs, o_specs),
+                # pallas_call's out_shape structs carry no vma
+                # annotation, so the VMA checker cannot type the
+                # kernel's outputs
+                check_vma=False,
+            ))
+            self._fn_cache[key] = fn
         self.state, outs = fn(self.state, self.code_table, epochs)
         return outs
 
@@ -208,17 +221,23 @@ class StreamingTracker:
         def lead_spec(x):
             return P(axes, *([None] * (x.ndim - 1)))
 
-        st_specs = jax.tree.map(lead_spec, self.state)
-        _, d_shapes = jax.eval_shape(local, self.state, self.code_table,
-                                     epochs)
-        d_specs = jax.tree.map(
-            lambda x: P(None, axes) if x.ndim == 2 else P(axes), d_shapes)
-        fn = jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(st_specs, P(axes, None), P(None, None)),
-            out_specs=(st_specs, d_specs),
-            check_vma=False,
-        )
+        key = ("digest", epochs.shape, self.code_table.shape,
+               cfg_recv.code_filter_len, cfg_recv.enable_code_filter)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            st_specs = jax.tree.map(lead_spec, self.state)
+            _, d_shapes = jax.eval_shape(local, self.state,
+                                         self.code_table, epochs)
+            d_specs = jax.tree.map(
+                lambda x: P(None, axes) if x.ndim == 2 else P(axes),
+                d_shapes)
+            fn = jax.jit(jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(st_specs, P(axes, None), P(None, None)),
+                out_specs=(st_specs, d_specs),
+                check_vma=False,
+            ))
+            self._fn_cache[key] = fn
         self.state, d = fn(self.state, self.code_table, epochs)
         return d

@@ -131,7 +131,11 @@ def test_mesh_receiver_aided_sync_engages():
 
     cfg = ReceiverConfig(prns=prns, track=COHERENT_TRACK,
                          enable_position=False, track_block_epochs=100)
-    mesh = make_mesh(time=2, chan=4)
+    # a 2-device mesh exercises the same sharded digest/aided-sync path
+    # as 8 at a quarter of the virtual-device core oversubscription
+    # (this test was the suite's slowest at 8: the 4.8 s coherent run
+    # costs ~10 min under CI contention, ~2 min at 2 devices)
+    mesh = make_mesh(time=1, chan=2, devices=jax.devices()[:2])
     rx = MeshReceiver(cfg, mesh)
     report = rx.run(x)
     for ch in report.channels:
