@@ -223,6 +223,12 @@ class Receiver:
         ]
         self.track_state: Optional[TrackState] = None
         self.code_table = None
+        # canonical (C, 1023) bipolar table behind code_table: the
+        # device form is BACKEND-DEPENDENT (doubled upsampled for the
+        # Pallas paths, raw for the jnp scan), so checkpoints store
+        # this and rebuild the device form on load — a checkpoint
+        # written on one backend must resume on another
+        self.code_table_np: Optional[np.ndarray] = None
         self.epoch_cursor = 0        # global sample ledger, epochs (= ms)
         self.solutions: List[Solution] = []
         self.solution_epochs: List[int] = []
@@ -338,6 +344,7 @@ class Receiver:
             refined = refine_code_phase(
                 samples, table_np, phases, dopplers, cfg.plan, cfg.track
             )
+        self.code_table_np = table_np
         self.code_table = self._device_code_table(table_np)
         self.track_state = init_state(
             len(live), refined, dopplers, start_epoch=start_epoch,
@@ -967,6 +974,9 @@ class Receiver:
         self.code_table = jnp.concatenate(
             [self.code_table, self._device_code_table(table_new)], axis=0
         )
+        if self.code_table_np is not None:
+            self.code_table_np = np.concatenate(
+                [self.code_table_np, table_new], axis=0)
         for ch, res in hits:
             ch.acq = res
             ch.state_name = "TRACKING"
@@ -1020,6 +1030,8 @@ class Receiver:
             lambda x: x[keep_j], self.track_state
         )
         self.code_table = self.code_table[keep_j]
+        if self.code_table_np is not None:
+            self.code_table_np = self.code_table_np[keep]
         dropped = []
         for c in sorted(dead, reverse=True):
             ch = self.channels.pop(c)

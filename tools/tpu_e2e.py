@@ -287,9 +287,12 @@ def main():
                 rx.start_tracking(host_bb[acq_e * spe:],
                                   start_epoch=acq_e)
             # re-home the bootstrap state: numpy leaves re-upload to
-            # the TPU at the first tracking dispatch
+            # the TPU at the first tracking dispatch.  The code table
+            # MUST be rebuilt for the resolved (TPU) backend — the
+            # CPU-context bootstrap may have built the raw jnp-scan
+            # form, which the Pallas kernel would read as garbage.
             rx.track_state = jax.tree.map(np.asarray, rx.track_state)
-            rx.code_table = np.asarray(rx.code_table)
+            rx.code_table = rx._device_code_table(rx.code_table_np)
         for r in (rx.channels and [c.acq for c in rx.channels if c.acq]
                   or []):
             log(f"  PRN {r.prn}: detected={r.detected} "
