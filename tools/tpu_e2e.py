@@ -154,9 +154,18 @@ def main():
     ap.add_argument("--state-dir", default="/tmp/tpu_e2e")
     ap.add_argument("--budget-s", type=int, default=1500)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--acq", default="host",
+                    choices=("host", "device", "auto"),
+                    help="cold-start bootstrap: 'host' (default) runs "
+                         "the one-time 300-epoch acquisition + handoff "
+                         "on the CPU backend — the streaming pipeline "
+                         "(the throughput claim) is on the TPU either "
+                         "way, and a device attempt can HANG for the "
+                         "whole run budget in a degraded tunnel "
+                         "window; 'device' requires the device chain; "
+                         "'auto' tries device then falls back")
     ap.add_argument("--require-device-acq", action="store_true",
-                    help="fail instead of falling back to host "
-                         "acquisition when the device chain errors")
+                    help=argparse.SUPPRESS)
     ap.add_argument("--allow-cpu", action="store_true")
     ap.add_argument("--force-cpu", action="store_true",
                     help="run the whole flow on the CPU backend "
@@ -249,26 +258,26 @@ def main():
         acq_e = cfg.acq.noncoherent_epochs
         handoff_e = max(256 + acq_e, args.chunk_epochs)
         t0 = time.perf_counter()
-        samples0 = cap.epochs(0, handoff_e)
-        log("cold start: acquiring")
-        # the tunnel flips UNIMPLEMENTED in degraded windows minutes
-        # long (CLAUDE.md) — retry the device chain, then (unless
-        # --require-device-acq) fall back to HOST acquisition on the
-        # same wire data: a one-time 300-epoch bootstrap; the streaming
-        # pipeline (tracking + digest, the throughput claim) stays on
-        # the TPU either way
         results = None
-        for attempt in range(2):
-            try:
-                results = rx.acquire_all(samples0)
-                break
-            except Exception as e:  # noqa: BLE001
-                log(f"device acquire attempt {attempt}: "
-                    f"{type(e).__name__}: {str(e).splitlines()[0][:80]}")
-                time.sleep(60)
+        if args.acq in ("device", "auto"):
+            samples0 = cap.epochs(0, handoff_e)
+            log("cold start: acquiring on device")
+            # the tunnel flips UNIMPLEMENTED (or HANGS until the run
+            # deadline) in degraded windows minutes long (CLAUDE.md)
+            attempts = 3 if args.acq == "device" else 1
+            for attempt in range(attempts):
+                try:
+                    results = rx.acquire_all(samples0)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    log(f"device acquire attempt {attempt}: "
+                        f"{type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:80]}")
+                    if attempt + 1 < attempts:
+                        time.sleep(60)
         host_bootstrap = False
         if results is None:
-            if args.require_device_acq:
+            if args.acq == "device" or args.require_device_acq:
                 sys.exit(4)
             log("cold start: falling back to HOST (CPU-backend) "
                 "acquisition + handoff on the same wire data")
