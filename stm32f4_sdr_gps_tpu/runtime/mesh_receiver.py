@@ -55,7 +55,7 @@ class MeshReceiver(Receiver):
                     extra_hints: Optional[dict] = None) -> List[AcqResult]:
         cfg = self.config
         hints = {}
-        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz):
+        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz or ()):
             if h is not None:
                 hints[int(prn)] = float(h)
         if extra_hints:

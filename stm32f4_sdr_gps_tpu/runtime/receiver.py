@@ -292,7 +292,8 @@ class Receiver:
         the configured ones."""
         cfg = self.config
         hints = {}
-        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz):
+        # doppler_hints_hz: () or None = cold search everywhere
+        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz or ()):
             if h is not None:
                 hints[int(prn)] = float(h)
         if extra_hints:
@@ -923,7 +924,7 @@ class Receiver:
                 ch.acq_timeouts += 1
                 ch.state_name = "ACQ_TIMEOUT"
         hints = {}
-        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz):
+        for prn, h in zip(cfg.prns, cfg.doppler_hints_hz or ()):
             if h is not None:
                 hints[int(prn)] = float(h)
         for ch in self.standby_channels:

@@ -97,7 +97,7 @@ from stm32f4_sdr_gps_tpu.signal.capture import (  # noqa: E402
     reference_to_baseband,
 )
 
-host_bb = reference_to_baseband(x[: 8 * 16368])
+host_bb = reference_to_baseband(x[: 16368])       # 1 epoch = 16 KB
 dev_bb = np.asarray(bb[: len(host_bb)])
 cond_err = float(np.abs(dev_bb - host_bb).max())
 log(f"conditioner cross-check: max |device-host| = {cond_err:.2e} "
