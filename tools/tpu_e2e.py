@@ -88,6 +88,56 @@ def ensure_capture(state: Path, duration_ms: int, cn0: float, cib: int,
     return np.fromfile(cap, dtype=np.uint16), json.loads(truth.read_text())
 
 
+class BasebandDeviceCapture:
+    """Host-conditioned ingest: the whole capture is converted to
+    complex baseband on the host once (fast strided conditioner,
+    ~26 ms/s of capture), then served to the device in <1 MB pieces
+    assembled by one cached concat program.  Functionally equivalent
+    to ChunkedDeviceCapture with the conditioning moved off-device."""
+
+    PIECE_E = 48                      # 48 epochs x 2046 c64 = 786 KB
+
+    def __init__(self, words: np.ndarray, spe: int):
+        from stm32f4_sdr_gps_tpu.runtime import native as native_mod
+        from stm32f4_sdr_gps_tpu.signal.capture import (
+            reference_to_baseband,
+        )
+
+        t0 = time.perf_counter()
+        self.bb = reference_to_baseband(
+            native_mod.unpack_bits16(np.asarray(words)))
+        self.spe = spe
+        self.total_epochs = len(self.bb) // spe
+        self.upload_s = 0.0
+        self.uploads = 0
+        self._assemble = None
+        print(f"host conditioner: {self.total_epochs} epochs in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr,
+              flush=True)
+
+    def epochs(self, start_epoch: int, n_epochs: int):
+        import jax
+        import jax.numpy as jnp
+
+        pe = self.PIECE_E
+        end = min(start_epoch + n_epochs, self.total_epochs)
+        n = end - start_epoch
+        t0 = time.perf_counter()
+        pieces = []
+        for e0 in range(start_epoch, end, pe):
+            e1 = min(e0 + pe, end)
+            pieces.append(jax.device_put(
+                self.bb[e0 * self.spe: e1 * self.spe]))
+        self.upload_s += time.perf_counter() - t0
+        self.uploads += len(pieces)
+        if len(pieces) == 1:
+            return pieces[0]
+        if self._assemble is None:
+            self._assemble = jax.jit(
+                lambda *ps: jnp.concatenate(ps))
+        return self._assemble(*pieces)
+
+
 class ChunkedDeviceCapture:
     """Serves arbitrary whole-epoch ranges of the capture as device
     arrays, uploading + conditioning fixed-size wire chunks on demand
@@ -154,6 +204,15 @@ def main():
     ap.add_argument("--state-dir", default="/tmp/tpu_e2e")
     ap.add_argument("--budget-s", type=int, default=1500)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--ingest", default="wire",
+                    choices=("wire", "baseband"),
+                    help="'wire' uploads 1-bit words and conditions on "
+                         "device (2 KB/ms); 'baseband' conditions on "
+                         "the host and uploads complex64 in <1MB "
+                         "pieces (16 KB/ms) — bypasses the on-device "
+                         "conditioner (isolation mode; also the "
+                         "workaround for a poisoned conditioner cache "
+                         "entry)")
     ap.add_argument("--acq", default="host",
                     choices=("host", "device", "auto"),
                     help="cold-start bootstrap: 'host' (default) runs "
@@ -224,7 +283,9 @@ def main():
     from stm32f4_sdr_gps_tpu.runtime.receiver import Receiver
 
     spe = BASEBAND_PLAN.samples_per_epoch
-    cap = ChunkedDeviceCapture(words, args.chunk_epochs, spe)
+    cap = (BasebandDeviceCapture(words, spe)
+           if args.ingest == "baseband"
+           else ChunkedDeviceCapture(words, args.chunk_epochs, spe))
     prns = tuple(s["prn"] for s in truth["sats"])
 
     prog_path = state / "progress.json"
@@ -343,9 +404,16 @@ def main():
                 prog_path.write_text(json.dumps(prog))
                 sys.exit(4)
             time.sleep(150)
-            rx = load_receiver(str(ckpt))
-            prog["cursor"] = rx.epoch_cursor
-            cap._chunks.clear()      # re-upload past the bad window
+            try:
+                rx = load_receiver(str(ckpt))
+                prog["cursor"] = rx.epoch_cursor
+            except Exception as e2:  # noqa: BLE001
+                # still inside the bad window (the reload's device_put
+                # failed) — give the run up; the next invocation resumes
+                log(f"checkpoint reload failed too: {type(e2).__name__}")
+                prog_path.write_text(json.dumps(prog))
+                sys.exit(4)
+            getattr(cap, "_chunks", {}).clear()  # re-upload past the bad window
             continue
         wall = time.perf_counter() - t0
         prog["cursor"] += be
