@@ -7,10 +7,12 @@ output on the MCU).  This driver reproduces that bar on the TPU:
 * stimulus: the INDEPENDENT C++ generator's wire-format capture
   (native/capture_gen.cpp — 1-bit real signs at 16.368 MHz packed into
   uint16 SPI words, 2 046 bytes/ms, signal_capture.c:9-11,143-177);
-* ingest: whole-epoch chunks uploaded at ~0.5 MB each (under the axon
-  tunnel's ~1 MB host->device cap) and conditioned to complex baseband
-  ON DEVICE (signal.capture.reference_to_baseband_device) — the 16x
-  larger complex stream only ever exists in HBM;
+* ingest (--ingest): 'wire' uploads whole-epoch word chunks at ~0.5 MB
+  each (under the axon tunnel's ~1 MB host->device cap) and conditions
+  to complex baseband ON DEVICE (reference_to_baseband_device) — the
+  16x larger complex stream only ever exists in HBM; 'baseband'
+  conditions on the host and uploads complex64 pieces (the isolation /
+  poisoned-cache workaround mode);
 * pipeline: the stock Receiver — acquisition cube (+ device peak
   analysis), batched fine-Doppler + pre-track, the in-kernel Pallas
   track+digest program per block (backend-aware default), host decode /
