@@ -99,7 +99,9 @@ class BasebandDeviceCapture:
 
     PIECE_E = 48                      # 48 epochs x 2046 c64 = 786 KB
 
-    def __init__(self, words: np.ndarray, spe: int):
+    def __init__(self, words: np.ndarray, spe: int,
+                 one_piece: bool = False):
+        self.one_piece = one_piece
         from stm32f4_sdr_gps_tpu.runtime import native as native_mod
         from stm32f4_sdr_gps_tpu.signal.capture import (
             reference_to_baseband,
@@ -121,10 +123,18 @@ class BasebandDeviceCapture:
         import jax
         import jax.numpy as jnp
 
-        pe = self.PIECE_E
         end = min(start_epoch + n_epochs, self.total_epochs)
-        n = end - start_epoch
         t0 = time.perf_counter()
+        if self.one_piece:
+            # one device_put per block (multi-MB uploads measured OK on
+            # this transport) — introduces NO device programs at all,
+            # which matters when fresh compiles are failing/poisoned
+            out = jax.device_put(
+                self.bb[start_epoch * self.spe: end * self.spe])
+            self.upload_s += time.perf_counter() - t0
+            self.uploads += 1
+            return out
+        pe = self.PIECE_E
         pieces = []
         for e0 in range(start_epoch, end, pe):
             e1 = min(e0 + pe, end)
@@ -207,7 +217,7 @@ def main():
     ap.add_argument("--budget-s", type=int, default=1500)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--ingest", default="wire",
-                    choices=("wire", "baseband"),
+                    choices=("wire", "baseband", "baseband1"),
                     help="'wire' uploads 1-bit words and conditions on "
                          "device (2 KB/ms); 'baseband' conditions on "
                          "the host and uploads complex64 in <1MB "
@@ -215,6 +225,11 @@ def main():
                          "conditioner (isolation mode; also the "
                          "workaround for a poisoned conditioner cache "
                          "entry)")
+    ap.add_argument("--jnp-track", action="store_true",
+                    help="force the jnp lax.scan tracking backend "
+                         "(no Mosaic kernel) — numerical-correctness "
+                         "runs on transports whose fresh Mosaic "
+                         "compiles are suspect")
     ap.add_argument("--acq", default="host",
                     choices=("host", "device", "auto"),
                     help="cold-start bootstrap: 'host' (default) runs "
@@ -285,8 +300,9 @@ def main():
     from stm32f4_sdr_gps_tpu.runtime.receiver import Receiver
 
     spe = BASEBAND_PLAN.samples_per_epoch
-    cap = (BasebandDeviceCapture(words, spe)
-           if args.ingest == "baseband"
+    cap = (BasebandDeviceCapture(
+               words, spe, one_piece=args.ingest == "baseband1")
+           if args.ingest.startswith("baseband")
            else ChunkedDeviceCapture(words, args.chunk_epochs, spe))
     prns = tuple(s["prn"] for s in truth["sats"])
 
@@ -312,7 +328,9 @@ def main():
         cfg = ReceiverConfig(
             prns=prns,
             track=TrackConfig(codes_in_bit=args.cib,
-                              pll_bad_state_threshold=10**9),
+                              pll_bad_state_threshold=10**9,
+                              in_kernel_scan=(False if args.jnp_track
+                                              else None)),
             track_block_epochs=args.block_epochs,
         )
         cfg = cfg.replace(

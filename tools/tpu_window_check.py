@@ -126,16 +126,32 @@ def main():
     words = pack_bits_lsb16(x)
     wd = jax.device_put(words)
     bb = jax.jit(reference_to_baseband_device)(wd)
-    host_bb = reference_to_baseband(x[:16368])
+    # scalar checksums via jit: eager-slice ARRAY readbacks are the one
+    # readback class this transport reliably rejects, while jit SCALAR
+    # outputs read back fine (r5 findings) — three moments pin the
+    # values well enough to catch any wrong-unpack/mix/decimate
+    host_bb = reference_to_baseband(x[: n_epochs * 16368])
+
+    @jax.jit
+    def sums(b):
+        w = jnp.arange(b.shape[0], dtype=jnp.float32) * 1e-4
+        return (jnp.sum(jnp.abs(b) ** 2), jnp.sum(b.real * w),
+                jnp.sum(b.imag * w))
+
     try:
-        dev_bb = np.asarray(bb[: len(host_bb)])
+        dev_s = [float(np.asarray(v)) for v in sums(bb)]
     except Exception as e:  # noqa: BLE001
         log(f"conditioner readback failed mid-window: {type(e).__name__}")
         sys.exit(3)
-    cond_err = float(np.abs(dev_bb - host_bb).max())
-    log(f"conditioner cross-check ({n_epochs} ep): max|dev-host| = "
-        f"{cond_err:.2e}")
-    if cond_err > 1e-3:
+    w = np.arange(len(host_bb), dtype=np.float32) * 1e-4
+    host_s = [float((np.abs(host_bb) ** 2).sum()),
+              float((host_bb.real * w).sum()),
+              float((host_bb.imag * w).sum())]
+    errs = [abs(a - b) / max(abs(b), 1.0)
+            for a, b in zip(dev_s, host_s)]
+    log(f"conditioner checksums ({n_epochs} ep): dev {dev_s} vs "
+        f"host {host_s} (rel err {max(errs):.2e})")
+    if max(errs) > 1e-3:
         log("CONDITIONER WRONG on this hardware (fresh compile!)")
         sys.exit(2)
 
