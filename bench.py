@@ -35,6 +35,7 @@ jnp-scan 0.5x real-time.  (r2 history: in-kernel scan 179.9x.)
 
 from __future__ import annotations
 
+import functools
 import glob
 import gzip
 import json
@@ -557,7 +558,7 @@ def child_handoff(result_file, honest_wall):
     cps = jnp.asarray(rng.uniform(0, 1023, n_chan), jnp.float32)
     dops = jnp.asarray(rng.uniform(-5e3, 5e3, n_chan), jnp.float32)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def _mk(key, e):
         kr, ki = jax.random.split(key)
         return (jax.random.normal(kr, (e, s), jnp.float32)

@@ -115,7 +115,10 @@ def stage_epl():
     sat = SimSat(prn=prn, doppler_hz=dop, code_phase_chips=cp,
                  cn0_dbhz=60.0, codes_in_bit=20, nav_bits=[0, 1] * 8)
     x, _ = simulate_capture([sat], num_epochs=1, seed=3)
-    u2 = jnp.asarray(upsampled_code_doubled(ca_table_bipolar([prn])))
+    # full 8-row sublane tile: C=1 may be a legitimate Mosaic lowering
+    # rejection rather than a transport failure
+    prns8 = [prn] * 8
+    u2 = jnp.asarray(upsampled_code_doubled(ca_table_bipolar(prns8)))
     xs = jnp.asarray(x[:2046], jnp.complex64)
 
     @jax.jit
@@ -125,22 +128,28 @@ def stage_epl():
         return jnp.abs(epl[0, 0]), jnp.abs(epl[0, 1]), jnp.abs(epl[0, 2])
 
     e, p, l = (float(np.asarray(v)) for v in dev(
-        xs, u2, jnp.asarray([cp], jnp.float32),
-        jnp.asarray([dop], jnp.float32),
-        jnp.asarray([0.0], jnp.float32)))
-    # host reference (jnp path on CPU arrays via numpy calc)
+        xs, u2, jnp.asarray([cp] * 8, jnp.float32),
+        jnp.asarray([dop] * 8, jnp.float32),
+        jnp.asarray([0.0] * 8, jnp.float32)))
+    # host reference ON THE CPU BACKEND (the reference path's dynamic
+    # gathers must not ride the suspect device toolchain)
     from stm32f4_sdr_gps_tpu.ops.correlate import epl_correlate
     from stm32f4_sdr_gps_tpu.ops.replica import sample_replicas
     from stm32f4_sdr_gps_tpu.ops.wipeoff import carrier_wipeoff
 
-    reps = sample_replicas(jnp.asarray(ca_table_bipolar([prn])),
-                           jnp.asarray([cp], jnp.float32),
-                           jnp.asarray([1023.0 / 2046.0], jnp.float32),
-                           2046, (-0.5, 0.0, 0.5))
-    y, _ = carrier_wipeoff(xs, jnp.asarray([dop], jnp.float32),
-                           jnp.asarray([0.0], jnp.float32),
-                           BASEBAND_PLAN.sample_rate_hz)
-    ref = epl_correlate(y, reps)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        reps = sample_replicas(jnp.asarray(ca_table_bipolar([prn])),
+                               jnp.asarray([cp], jnp.float32),
+                               jnp.asarray([1023.0 / 2046.0],
+                                           jnp.float32),
+                               2046, (-0.5, 0.0, 0.5))
+        y, _ = carrier_wipeoff(jnp.asarray(np.asarray(x[:2046]),
+                                           jnp.complex64),
+                               jnp.asarray([dop], jnp.float32),
+                               jnp.asarray([0.0], jnp.float32),
+                               BASEBAND_PLAN.sample_rate_hz)
+        ref = epl_correlate(y, reps)
     re, rp, rl = (float(abs(np.asarray(ref[0, k]))) for k in range(3))
     log(f"epl dev |E,P,L| = {e:.0f}, {p:.0f}, {l:.0f}; "
         f"ref = {re:.0f}, {rp:.0f}, {rl:.0f}")
