@@ -85,7 +85,14 @@ def _epl_kernel_real(m_ref, xr_ref, xi_ref, u2_ref, dop_ref, ph_ref,
     row = u2_ref[i, :].reshape(1, U2P)
     sums = []
     for lag in (-1, 0, 1):
-        rep = pltpu.roll(row, -(m + lag), 1)[:, :SP]
+        # left-roll by (m + lag) spelled with a NON-NEGATIVE dynamic
+        # amount: negative tpu.dynamic_rotate amounts produce garbage
+        # on real hardware at non-power-of-two widths (exact only in
+        # interpret mode / at power-of-two widths, which is why the
+        # (8, 256) bisect probe passed); tools/tpu_roll_wide_probe.py
+        sft = m + lag                      # in [0, S + 1]
+        amt = jnp.where(sft > 0, U2P - sft, 0)
+        rep = pltpu.roll(row, amt, 1)[:, :SP]
         sums.append(jnp.sum(yr * rep, keepdims=True).reshape(1, 1))
         sums.append(jnp.sum(yi * rep, keepdims=True).reshape(1, 1))
     sums.append(jnp.zeros((1, 2), jnp.float32))

@@ -336,8 +336,18 @@ def _kernel(cfg: TrackConfig, plan: SignalPlan, n_chan: int, t_cnt: int,
             mc = jnp.floor(2.0 * cpc).astype(jnp.int32)
             mc = jnp.where(mc == 0, S, mc)
             row = u2_ref[pl.ds(c, 1), :]
-            shift = mc - 1 - span // 2
-            base_st[pl.ds(c, 1), :] = pltpu.roll(row, -shift, 1)[:, :WIN]
+            shift = mc - 1 - span // 2          # in [-7, S - 8]
+            # dynamic roll amounts must be NON-NEGATIVE: on real v5e
+            # hardware (axon relay toolchain) tpu.dynamic_rotate with a
+            # negative amount produces garbage on non-power-of-two
+            # widths — every nonzero negative shift wrong at width
+            # 4352/2176 while positive amounts and the interpret path
+            # are exact (tools/tpu_roll_wide_probe.py; this was the r5
+            # whole-kernel 30 dB prompt-power divergence).  Left-roll
+            # by `shift` is spelled as a right-roll by U2P - shift,
+            # folded into [0, U2P).
+            amt = jnp.where(shift > 0, U2P - shift, -shift)
+            base_st[pl.ds(c, 1), :] = pltpu.roll(row, amt, 1)[:, :WIN]
             return 0
 
         def _mc_now():
