@@ -1,13 +1,19 @@
 """Bisect WHICH Mosaic construct diverges between real TPU and
 interpret mode.
 
-r5 finding: the in-kernel tracking scan, freshly compiled on the real
-chip, tracks carrier roughly but loses ~30 dB of prompt power on a
-clean planted signal, while the IDENTICAL program in interpret mode
-locks perfectly — a real-hardware lowering divergence in the replica
-path.  Each stage here runs a tiny program on the device and reads
-back SCALAR diagnostics only (the one readback class this transport
-accepts reliably).
+RESOLVED (late round 5): the divergence was `tpu.dynamic_rotate` with
+a NEGATIVE amount at NON-power-of-two widths — this file's roll
+stages test width 256 (a power of two), which is exactly why they
+passed while the production kernel's width-4352/2176 negative rolls
+returned garbage.  tools/tpu_roll_wide_probe.py pins the hazard at
+production sizes; the kernels now fold amounts into [0, width).
+
+r5 finding (historical): the in-kernel tracking scan, freshly
+compiled on the real chip, tracked carrier roughly but lost ~30 dB of
+prompt power on a clean planted signal, while the IDENTICAL program
+in interpret mode locked perfectly.  Each stage here runs a tiny
+program on the device and reads back SCALAR diagnostics only (the one
+readback class this transport accepts reliably).
 
 Stages:
   roll      pltpu.roll semantics on a known int plane vs np.roll
